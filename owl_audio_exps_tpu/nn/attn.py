@@ -1,0 +1,270 @@
+"""DiT backbone: attention, blocks, local/global window alternation.
+
+TPU-first reworking of the reference backbone
+(reference: owl_wms/nn/attn.py). Key design moves:
+
+* Masks are built **once per forward** at the backbone level for the local
+  and global window sizes and shared by all layers — the analogue of the
+  two flex-attention BlockMasks (owl_wms/nn/attn.py:179-182) — as either
+  dense boolean masks (XLA path) or block-sparsity metadata (Pallas path).
+* The KV cache is a static-shape ring buffer (see nn/kv_cache.py); cached
+  attention concatenates [ring slots | new tokens] with masks computed
+  from the ring counters, so streaming decode compiles to a fixed graph
+  and runs under ``lax.scan``.
+* ``decoding`` is a static flag (replacing enable/disable_decoding,
+  owl_wms/nn/attn.py:157-161): masks reduce to slot-validity, and local
+  layers attend to the trailing ``local_window`` frames of the
+  concatenated stream (the slice semantics of owl_wms/nn/attn.py:102-104).
+* Layer alternation: ``layer_idx % local_idx != 0`` ⇒ local window
+  (owl_wms/nn/attn.py:151-154; default pattern [global, local, local,
+  local, ...]).
+
+QK RMS-norm, RoPE-before-cache, and the shared cache across modalities
+follow owl_wms/nn/attn.py:79-97.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..ops.attention import dot_attention
+from ..ops.masks import dense_mask, decode_mask_from_cache
+from ..ops.norms import rms_norm
+from ..ops.rope import rope_table_for
+from .layers import MLP, AdaLN, Gate, Linear
+from .kv_cache import KVCache
+
+
+def effective_tokens_per_frame(config) -> int:
+    """Tokens per frame as seen by the attention stream: video tokens plus
+    the appended per-frame audio token when present."""
+    return config.tokens_per_frame
+
+
+def build_masks(
+    config,
+    q_len: int,
+    doc_id: Optional[jnp.ndarray],
+    kv_cache: Optional[KVCache],
+    decoding: bool,
+):
+    """Build the (local, global) masks for one forward pass.
+
+    Returns bool masks shaped [q_len, kv_len] (or [b, q_len, kv_len] when
+    doc_id is given). kv_len is q_len without cache, capacity + q_len with.
+    """
+    tpf = config.tokens_per_frame
+    local_w = config.get("local_window")
+    global_w = config.get("global_window")
+    causal = bool(config.causal)
+
+    if kv_cache is None:
+        local = dense_mask(q_len, tpf, local_w, doc_id, 0, causal)
+        glob = dense_mask(q_len, tpf, global_w, doc_id, 0, causal)
+        return local, glob
+
+    rel = kv_cache.slot_rel_idx()
+    length = kv_cache.length
+    if decoding:
+        # masks skipped in the reference; visibility = valid slots (+ the
+        # new tokens), local layers sliced to trailing local_window frames.
+        q_abs = length + jnp.arange(q_len, dtype=jnp.int32)
+        valid = jnp.concatenate(
+            [(rel < length), jnp.ones((q_len,), dtype=bool)])
+        glob = jnp.broadcast_to(valid[None, :],
+                                (q_len, rel.shape[0] + q_len))
+        if local_w is not None:
+            kv_order = jnp.concatenate([rel, q_abs])
+            cutoff = length + q_len - local_w * tpf
+            local = glob & (kv_order >= cutoff)[None, :]
+        else:
+            local = glob
+        return local, glob
+
+    local = decode_mask_from_cache(rel, length, q_len, tpf, local_w, causal)
+    glob = decode_mask_from_cache(rel, length, q_len, tpf, global_w, causal)
+    return local, glob
+
+
+class Attn(nn.Module):
+    """Fused-QKV attention with QK rms-norm, RoPE, ring KV cache.
+
+    Reference: owl_wms/nn/attn.py:65-113.
+    """
+
+    config: object
+    layer_idx: int
+    local: bool = False
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, mask, kv_cache: Optional[KVCache] = None,
+                 write: bool = False) -> Tuple[jnp.ndarray, Optional[KVCache]]:
+        cfg = self.config
+        B, L, _ = x.shape
+        H = cfg.n_heads
+        Dh = cfg.d_model // H
+
+        qkv = Linear(3 * cfg.d_model, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(B, L, 3, H, Dh)
+        q = jnp.transpose(qkv[:, :, 0], (0, 2, 1, 3))  # [B, H, L, Dh]
+        k = jnp.transpose(qkv[:, :, 1], (0, 2, 1, 3))
+        v = jnp.transpose(qkv[:, :, 2], (0, 2, 1, 3))
+        q, k = rms_norm(q), rms_norm(k)
+
+        rope = rope_table_for(cfg)
+        if kv_cache is not None:
+            positions = kv_cache.write_positions(L)
+        else:
+            positions = jnp.arange(L, dtype=jnp.int32)
+        q = rope(q, positions)
+        k = rope(k, positions)
+
+        new_cache = kv_cache
+        if kv_cache is not None:
+            if write:
+                new_cache = kv_cache.update_layer(
+                    self.layer_idx,
+                    jnp.transpose(k, (0, 2, 1, 3)),  # [B, L, H, Dh]
+                    jnp.transpose(v, (0, 2, 1, 3)),
+                )
+            ck, cv = kv_cache.read_layer(self.layer_idx)
+            k = jnp.concatenate(
+                [jnp.transpose(ck, (0, 2, 1, 3)).astype(k.dtype), k], axis=2)
+            v = jnp.concatenate(
+                [jnp.transpose(cv, (0, 2, 1, 3)).astype(v.dtype), v], axis=2)
+
+        out = dot_attention(q.astype(self.dtype), k.astype(self.dtype),
+                            v.astype(self.dtype), mask)
+        out = jnp.transpose(out, (0, 2, 1, 3)).reshape(B, L, cfg.d_model)
+        out = Linear(cfg.d_model, dtype=self.dtype, name="out")(out)
+        return out, new_cache
+
+
+class DiTBlock(nn.Module):
+    """pre-AdaLN -> attn -> gate -> residual; pre-AdaLN -> MLP -> gate ->
+    residual (reference: owl_wms/nn/attn.py:116-143)."""
+
+    config: object
+    layer_idx: int
+    local: bool = False
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, cond, mask, kv_cache=None, write: bool = False):
+        d = self.config.d_model
+        h, kv_cache = Attn(self.config, self.layer_idx, self.local,
+                           dtype=self.dtype, name="attn")(
+            AdaLN(d, dtype=self.dtype, name="adaln1")(x, cond),
+            mask, kv_cache, write)
+        x = x + Gate(d, dtype=self.dtype, name="gate1")(h, cond)
+
+        h = MLP(d, dtype=self.dtype, name="mlp")(
+            AdaLN(d, dtype=self.dtype, name="adaln2")(x, cond))
+        x = x + Gate(d, dtype=self.dtype, name="gate2")(h, cond)
+        return x, kv_cache
+
+
+def local_layer_flags(config):
+    """[global, local, local, local, ...] alternation
+    (reference: owl_wms/nn/attn.py:151-154)."""
+    local_idx = config.get("local_idx", 4) or 4
+    return [(i % local_idx != 0) for i in range(config.n_layers)]
+
+
+class DiT(nn.Module):
+    """Stack of DiTBlocks with alternating local/global windows.
+
+    Reference: owl_wms/nn/attn.py:146-191. ``decoding`` is a static arg:
+    call with decoding=True inside sampler scan loops.
+    """
+
+    config: object
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, cond, doc_id=None, kv_cache: Optional[KVCache] = None,
+                 write: bool = False, decoding: bool = False,
+                 deterministic: bool = True):
+        cfg = self.config
+        flags = local_layer_flags(cfg)
+        local_mask, global_mask = build_masks(
+            cfg, x.shape[1], doc_id, kv_cache, decoding)
+
+        use_remat = (not deterministic) and cfg.get("gradient_checkpointing", False)
+        block_cls = DiTBlock
+        if use_remat and kv_cache is None:
+            block_cls = nn.remat(DiTBlock, static_argnums=(5,))
+
+        for idx, local in enumerate(flags):
+            mask = local_mask if local else global_mask
+            x, kv_cache = block_cls(
+                cfg, idx, local, dtype=self.dtype, name=f"blocks_{idx}")(
+                x, cond, mask, kv_cache, write)
+        if kv_cache is not None and write:
+            # all layers wrote the same token count; commit counters once
+            kv_cache = kv_cache.advance(x.shape[1])
+        return x, kv_cache
+
+
+class SkipConnection(nn.Module):
+    """U-Net style skip join: add, AdaLN, project
+    (reference: owl_wms/nn/attn.py:194-207)."""
+
+    config: object
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, prev, cond):
+        d = self.config.d_model
+        x = x + prev
+        x = AdaLN(d, dtype=self.dtype, name="norm")(x, cond)
+        return Linear(d, dtype=self.dtype, name="proj")(x)
+
+
+class UViT(nn.Module):
+    """DiT with U-Net skip connections joining early/late blocks.
+
+    Reference: owl_wms/nn/attn.py:210-260 (cleaned up: the reference's
+    UViT constructor is stale/broken; this is the working design — all
+    blocks use the global window).
+    """
+
+    config: object
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, cond, doc_id=None, kv_cache: Optional[KVCache] = None,
+                 write: bool = False, decoding: bool = False,
+                 deterministic: bool = True):
+        cfg = self.config
+        _, global_mask = build_masks(cfg, x.shape[1], doc_id, kv_cache, decoding)
+
+        n_blocks = cfg.n_layers
+        mid = n_blocks // 2
+
+        early = []
+        for i in range(mid):
+            x, kv_cache = DiTBlock(cfg, i, False, dtype=self.dtype,
+                                   name=f"blocks_{i}")(
+                x, cond, global_mask, kv_cache, write)
+            early.append(x)
+
+        x, kv_cache = DiTBlock(cfg, mid, False, dtype=self.dtype,
+                               name=f"blocks_{mid}")(
+            x, cond, global_mask, kv_cache, write)
+
+        for i in range(mid + 1, n_blocks):
+            early_feat = early[n_blocks - 1 - i]
+            skip_idx = i - (mid + 1)
+            x = SkipConnection(cfg, dtype=self.dtype,
+                               name=f"skip_projs_{skip_idx}")(x, early_feat, cond)
+            x, kv_cache = DiTBlock(cfg, i, False, dtype=self.dtype,
+                                   name=f"blocks_{i}")(
+                x, cond, global_mask, kv_cache, write)
+        if kv_cache is not None and write:
+            kv_cache = kv_cache.advance(x.shape[1])
+        return x, kv_cache

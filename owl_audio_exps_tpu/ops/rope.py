@@ -1,0 +1,241 @@
+"""Rotary position embeddings (RoPE) for the world-model token layouts.
+
+TPU-first design: frequency tables are precomputed **once in numpy float32**
+at model build time (they depend only on static config), stored as fp32
+constants, and applied with a gather at absolute token positions. This
+replaces the reference's torch buffer + slicing-by-offset scheme
+(reference: owl_wms/nn/rope.py:30-54) while keeping the math bit-identical:
+
+* pairing: inputs pair as (x[2i], x[2i+1]); outputs are written as
+  [all-even-rotations | all-odd-rotations] concatenated halves — the
+  reference's ``unfold(-1, 2, 2)`` + ``cat((y0, y1), -1)`` quirk
+  (reference: owl_wms/nn/rope.py:47-51).
+* rotation is computed in float32 regardless of activation dtype
+  (reference: owl_wms/nn/rope.py:43 ``@autocast(enabled=False)``).
+
+Three table layouts (reference: owl_wms/nn/rope.py:11-20 registry):
+
+* ``ortho``   — axial time x height x width frequencies with a dedicated
+  corner slot for the per-frame audio token (owl_wms/nn/rope.py:57-79).
+* ``motion``  — diagonal layout, spatial position a linear function of time
+  (arXiv 2502.05173; owl_wms/nn/rope.py:82-152).
+* ``audio1d`` — plain 1D temporal (owl_wms/nn/rope.py:155-179).
+
+Frequency-generation math mirrors the public ``rotary_embedding_torch``
+package the reference depends on ('pixel' and 'lang' freq families).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def _pixel_freqs(dim: int, max_freq: float) -> np.ndarray:
+    """'pixel' frequency family: linspace(1, max_freq/2, dim//2) * pi."""
+    return np.linspace(1.0, max_freq / 2.0, dim // 2, dtype=np.float32) * np.pi
+
+
+def _lang_freqs(dim: int, theta: float) -> np.ndarray:
+    """'lang' frequency family: 1 / theta^(2i/dim)."""
+    return 1.0 / (theta ** (np.arange(0, dim, 2, dtype=np.float32)[: dim // 2] / dim))
+
+
+def _axial_freqs_pixel(dims, offsets, dim: int, max_freq: float) -> np.ndarray:
+    """Axial broadcast-and-concat of per-axis angles, 'pixel' family.
+
+    Per axis: pos = linspace(-1, 1, d) + offset; angles = pos x freqs,
+    repeat-interleaved by 2 -> [d, dim]. Axes broadcast against each other
+    and concatenate on the feature dim -> [*dims, n_axes * dim].
+    """
+    freqs = _pixel_freqs(dim, max_freq)
+    per_axis = []
+    for ind, d in enumerate(dims):
+        if d == 1:
+            pos = np.array([-1.0], dtype=np.float32)
+        else:
+            pos = np.linspace(-1.0, 1.0, d, dtype=np.float32)
+        pos = pos + (offsets[ind] if offsets is not None else 0.0)
+        ang = pos[:, None] * freqs[None, :]           # [d, dim//2]
+        ang = np.repeat(ang, 2, axis=-1)              # [d, dim]
+        shape = [1] * len(dims) + [ang.shape[-1]]
+        shape[ind] = d
+        per_axis.append(ang.reshape(shape))
+    target = tuple(dims) + (per_axis[0].shape[-1],)
+    per_axis = [np.broadcast_to(a, target) for a in per_axis]
+    return np.concatenate(per_axis, axis=-1)
+
+
+def ortho_freqs(config) -> np.ndarray:
+    """Axial time x H x W angles; audio token gets the (p, p) corner slot.
+
+    Reference: owl_wms/nn/rope.py:57-79 (OrthoRoPE).
+    Returns [n_frames * (p^2 + 1), head_dim // 2] float32 angles.
+    """
+    p = config.sample_size
+    head_dim = config.d_model // config.n_heads
+    freqs = _axial_freqs_pixel(
+        (config.n_frames, p + 1, p + 1, 1),
+        offsets=(0.0, 0.0, 0.0, 1.0),
+        dim=head_dim // 4,
+        max_freq=256.0,
+    ).reshape(config.n_frames, p + 1, p + 1, -1)
+
+    vid = freqs[:, :p, :p].reshape(config.n_frames, p * p, -1)
+    aud = freqs[:, -1, -1][:, None, :]
+    out = np.concatenate([vid, aud], axis=1).reshape(config.n_frames * (p * p + 1), -1)
+    return np.ascontiguousarray(out[..., ::2])  # undo the repeat-interleave
+
+
+def motion_freqs(config) -> np.ndarray:
+    """Diagonal space-time layout (constant-velocity prior).
+
+    Reference: owl_wms/nn/rope.py:82-152 (MotionRoPE, arXiv 2502.05173).
+    Returns [n_frames * (H*W + 1), head_dim // 2] float32 angles.
+    """
+    H = W = config.sample_size
+    F = config.n_frames
+    d_head = config.d_model // config.n_heads
+
+    dim_t = config.get("rope_dim_t", d_head * 2 // 8)
+    dim_x = config.get("rope_dim_x", d_head * 3 // 8)
+    dim_y = config.get("rope_dim_y", d_head * 3 // 8)
+    theta = config.get("rope_base", 10000.0)
+    ats_delta = config.get("rope_ats_delta", 2.0)
+
+    base = _lang_freqs(dim_t + dim_x + dim_y, theta)   # [(sum dims)//2]
+    n_spatial = (dim_x + dim_y) // 2
+    freqs_spatial, freqs_t = base[:n_spatial], base[n_spatial:]
+    freqs_x, freqs_y = freqs_spatial[::2], freqs_spatial[1::2]
+
+    # positions: video tokens are (f, h, w) grid; audio token appended per frame
+    t_grid = np.arange(F, dtype=np.float32) * ats_delta
+    h_grid = np.arange(H, dtype=np.float32) - (H - 1) / 2.0
+    w_grid = np.arange(W, dtype=np.float32) - (W - 1) / 2.0
+
+    t_video = np.repeat(t_grid, H * W)                                # [F*H*W]
+    x_video = t_video + np.tile(np.repeat(w_grid[None, :], H, 0).reshape(-1), F)
+    y_video = t_video + np.tile(np.repeat(h_grid[:, None], W, 1).reshape(-1), F)
+
+    t_audio = t_grid
+    x_audio = t_audio
+    y_audio = t_audio + (H - 1) / 2.0 + 1.0
+
+    # interleave: per frame [H*W video tokens, 1 audio token]
+    def interleave(video, audio):
+        video = video.reshape(F, H * W)
+        return np.concatenate([video, audio[:, None]], axis=1).reshape(-1)
+
+    x_pos = interleave(x_video, x_audio)
+    y_pos = interleave(y_video, y_audio)
+    t_pos = interleave(t_video, t_audio)
+
+    ang_x = x_pos[:, None] * freqs_x[None, :]
+    ang_y = y_pos[:, None] * freqs_y[None, :]
+    ang_t = t_pos[:, None] * freqs_t[None, :]
+
+    # interleave x/y feature-wise: [x0, y0, x1, y1, ...]
+    inter = np.stack([ang_x, ang_y], axis=-1).reshape(ang_x.shape[0], -1)
+    return np.ascontiguousarray(np.concatenate([inter, ang_t], axis=-1))
+
+
+def audio1d_freqs(config) -> np.ndarray:
+    """Pure temporal 1D angles. Reference: owl_wms/nn/rope.py:155-179.
+
+    Returns [n_frames, head_dim // 2] float32 angles (n_frames is
+    reinterpreted as the number of latent samples).
+    """
+    head_dim = config.d_model // config.n_heads
+    freqs = _lang_freqs(head_dim, 10000.0)
+    pos = np.arange(config.n_frames, dtype=np.float32)
+    return np.ascontiguousarray(pos[:, None] * freqs[None, :])
+
+
+_ROPE_FREQS = {
+    "ortho": ortho_freqs,
+    "motion": motion_freqs,
+    "audio1d": audio1d_freqs,
+}
+
+
+def get_rope_freqs(config) -> np.ndarray:
+    """Build the angle table for ``config.rope_impl``.
+
+    If ``config.has_audio`` is false the per-frame audio slot is removed
+    (reference: owl_wms/nn/rope.py:36-38).
+    Returns float32 angles [n_tokens, rot_features].
+    """
+    impl = (config.get("rope_impl", "ortho") or "ortho").lower()
+    if impl not in _ROPE_FREQS:
+        raise ValueError(f"Invalid RoPE impl: {impl}")
+    freqs = _ROPE_FREQS[impl](config)
+    if not config.get("has_audio", False):
+        freqs = freqs.reshape(config.n_frames, -1, freqs.shape[-1])[:, :-1]
+        freqs = freqs.reshape(-1, freqs.shape[-1])
+    return freqs
+
+
+def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray,
+               positions: jnp.ndarray) -> jnp.ndarray:
+    """Rotate ``x`` at absolute token ``positions``.
+
+    x: [..., t, head_dim]; cos/sin: [n_tokens, F] fp32 tables with
+    F = rot features (may be < head_dim // 2 — un-rotated tail passes
+    through); positions: [t] int32 absolute token indices.
+
+    Matches the reference pairing exactly: pairs are (x[2i], x[2i+1]) and
+    the output is the concatenation [y0 | y1] of the two rotated halves
+    (reference: owl_wms/nn/rope.py:47-51).
+    """
+    in_dtype = x.dtype
+    t = x.shape[-2]
+    d = x.shape[-1]
+    f = cos.shape[-1]
+    c = jnp.take(cos, positions, axis=0)  # [t, F]
+    s = jnp.take(sin, positions, axis=0)
+
+    xf = x.astype(jnp.float32)
+    pairs = xf[..., : 2 * f].reshape(*xf.shape[:-1], f, 2)
+    x0 = pairs[..., 0]
+    x1 = pairs[..., 1]
+    y0 = x0 * c - x1 * s
+    y1 = x1 * c + x0 * s
+    out = jnp.concatenate([y0, y1], axis=-1)
+    if 2 * f < d:
+        out = jnp.concatenate([out, xf[..., 2 * f:]], axis=-1)
+    return out.astype(in_dtype)
+
+
+class RopeTable:
+    """Precomputed cos/sin tables plus an apply helper.
+
+    Held outside the parameter pytree (pure constants); safe to close over
+    under jit since tables are static per model config.
+    """
+
+    def __init__(self, config):
+        angles = get_rope_freqs(config)
+        self.cos = jnp.asarray(np.cos(angles), dtype=jnp.float32)
+        self.sin = jnp.asarray(np.sin(angles), dtype=jnp.float32)
+        self.n_tokens = angles.shape[0]
+
+    def __call__(self, x: jnp.ndarray, positions: jnp.ndarray) -> jnp.ndarray:
+        return apply_rope(x, self.cos, self.sin, positions)
+
+
+_TABLE_CACHE: dict = {}
+
+
+def rope_table_for(config) -> RopeTable:
+    """Memoized RopeTable keyed on the config fields the tables depend on
+    (table construction is numpy-side; avoid recomputing per trace)."""
+    key = (
+        config.get("rope_impl", "ortho"), config.n_frames, config.sample_size,
+        config.d_model, config.n_heads, bool(config.get("has_audio", False)),
+        config.get("rope_dim_t"), config.get("rope_dim_x"),
+        config.get("rope_dim_y"), config.get("rope_base"),
+        config.get("rope_ats_delta"),
+    )
+    if key not in _TABLE_CACHE:
+        _TABLE_CACHE[key] = RopeTable(config)
+    return _TABLE_CACHE[key]
