@@ -3,20 +3,28 @@ including multi-device sharding tests — runs without TPU hardware.
 
 This is a capability the torch reference lacks entirely (SURVEY.md §4):
 all tests here are deterministic and CPU-runnable.
+
+NB: the environment pre-sets JAX_PLATFORMS to the TPU plugin and a
+sitecustomize registers it at interpreter start, so we must hard-override
+both the env var and the jax config before any backend is initialized.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
-
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+assert jax.devices()[0].platform == "cpu", (
+    "tests must run on the virtual CPU mesh, got " + str(jax.devices()))
+assert jax.device_count() == 8
