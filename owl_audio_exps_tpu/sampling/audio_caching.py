@@ -1,0 +1,97 @@
+"""Token-at-a-time autoregressive audio sampler with ring KV cache.
+
+Reference: owl_wms/sampling/audio_caching.py:22-159. TPU redesign: the
+whole generation loop is ONE jitted ``lax.scan`` — per token, an inner
+``lax.scan`` over Euler steps denoises against the cache, then a single
+write-forward re-encodes the clean token at ``noise_prev`` into the ring
+(the reference's cache-update call), with oldest-token eviction implicit
+in the ring capacity (reference max_window truncate).
+
+The cache stores *re-noised* tokens, not clean ones — the noise_prev
+discipline the causal models are trained with (SURVEY.md §7 hard part 2).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..nn.kv_cache import KVCache
+from .schedulers import resolve_schedule
+from .common import zlerp, JitCache
+
+
+class AudioCachingSampler:
+    """
+    :param n_steps: diffusion steps per token
+    :param num_tokens: new tokens to generate
+    :param noise_prev: noise level cached history is held at
+    :param custom_schedule: optional explicit schedule (e.g. [1.0, 0.5])
+    :param max_window: rolling context bound in tokens (ring capacity)
+    """
+
+    def __init__(self, n_steps: int = 16, num_tokens: int = 120,
+                 noise_prev: float = 0.2, custom_schedule=None,
+                 max_window=None, **_):
+        self.n_steps = n_steps
+        self.num_tokens = num_tokens
+        self.noise_prev = noise_prev
+        self.custom_schedule = (list(custom_schedule)
+                                if custom_schedule is not None else None)
+        self.max_window = max_window
+        self._jit = JitCache()
+
+    def __call__(self, core, params, x, rng, decode_fn=None, vae_scale=1.0):
+        """core: AudioRFTCore module; x: [b, init_len, c] context latents.
+
+        Returns [b, init_len + num_tokens, c] latents (plus decoded
+        waveforms if decode_fn given).
+        """
+        key = (id(core), x.shape, str(x.dtype))
+        fn = self._jit.get(key, lambda: jax.jit(partial(self._sample, core)))
+        latents = fn(params, x, rng)
+        if decode_fn is not None:
+            return latents, decode_fn(latents * vae_scale)
+        return latents
+
+    def _sample(self, core, params, x, rng):
+        b, init_len, c = x.shape
+        dt = resolve_schedule(self.n_steps, self.custom_schedule)
+        capacity = self.max_window or (init_len + self.num_tokens)
+        cache = KVCache.from_config(core.config, b, capacity_frames=capacity,
+                                    dtype=x.dtype)
+
+        # ---- cache context at noise_prev
+        rng, r_ctx = jax.random.split(rng)
+        noisy_ctx = zlerp(r_ctx, x, self.noise_prev)
+        t_ctx = jnp.full((b, init_len), self.noise_prev, dtype=x.dtype)
+        _, cache = core.apply(params, noisy_ctx, t_ctx,
+                              kv_cache=cache, write=True)
+
+        # ---- generate tokens one at a time
+        def gen_step(carry, _):
+            cache, rng = carry
+            rng, r_init, r_renoise = jax.random.split(rng, 3)
+            cur = jax.random.normal(r_init, (b, 1, c), x.dtype)
+            t = jnp.ones((b, 1), x.dtype)
+
+            def denoise(state, dt_i):
+                cur, t = state
+                pred, _ = core.apply(params, cur, t, kv_cache=cache,
+                                     decoding=True)
+                return (cur - dt_i * pred, t - dt_i), None
+
+            (cur, t), _ = jax.lax.scan(denoise, (cur, t), dt)
+
+            noisy = zlerp(r_renoise, cur, self.noise_prev)
+            t_noisy = jnp.full_like(t, self.noise_prev)
+            _, cache = core.apply(params, noisy, t_noisy, kv_cache=cache,
+                                  write=True, decoding=True)
+            return (cache, rng), cur[:, 0]
+
+        (_, _), tokens = jax.lax.scan(gen_step, (cache, rng), None,
+                                      length=self.num_tokens)
+        tokens = jnp.transpose(tokens, (1, 0, 2))  # [b, num_tokens, c]
+        return jnp.concatenate([x, tokens], axis=1)

@@ -1,0 +1,200 @@
+"""Frame-at-a-time streaming video samplers with ring KV cache.
+
+``AVCachingSamplerV2`` — the registered ``av_caching`` — is the serve
+path (reference: owl_wms/sampling/av_caching_v2.py:24-144): cache context
+once at ``noise_prev``; per new frame run n_steps Euler on a single
+token-frame against the cache (optional in-loop CFG via null controls),
+re-encode the clean frame into the cache at ``noise_prev``, with rolling
+eviction via the ring capacity (reference max_window truncate).
+
+``AVCachingSampler`` (v1) re-noises the previous window once and then
+denoises each frame with a combined history+new first call
+(reference: owl_wms/sampling/av_caching.py:9-110); provided for parity.
+
+TPU design: the frame loop and the inner Euler loop are ``lax.scan``s
+inside one jit — no host round-trips per frame.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..nn.kv_cache import KVCache
+from .schedulers import resolve_schedule
+from .common import zlerp, JitCache
+
+
+class AVCachingSamplerV2:
+    """
+    :param n_steps: diffusion steps per frame
+    :param cfg_scale: classifier-free guidance scale (1.0 disables)
+    :param num_frames: new frames to generate
+    :param noise_prev: noise level cached history is held at
+    :param max_window: rolling context bound in frames (ring capacity)
+    :param custom_schedule: e.g. [1.0, 0.5] for 2-step distilled students
+    """
+
+    def __init__(self, n_steps: int = 16, cfg_scale: float = 1.3,
+                 num_frames: int = 60, noise_prev: float = 0.2,
+                 max_window=None, custom_schedule=None,
+                 only_return_generated: bool = False, **_):
+        self.n_steps = n_steps
+        self.cfg_scale = cfg_scale
+        self.num_frames = num_frames
+        self.noise_prev = noise_prev
+        self.max_window = max_window
+        self.custom_schedule = (list(custom_schedule)
+                                if custom_schedule is not None else None)
+        self.only_return_generated = only_return_generated
+        self._jit = JitCache()
+
+    def __call__(self, core, params, x, mouse, btn, rng):
+        """core: GameRFTCore; x: [b, init_len, c, h, w] context latents;
+        mouse/btn cover init_len + num_frames. Returns
+        [b, init_len + num_frames, c, h, w]."""
+        num_frames = min(self.num_frames, mouse.shape[1] - x.shape[1])
+        key = (id(core), x.shape, mouse.shape, str(x.dtype), num_frames)
+        fn = self._jit.get(key, lambda: jax.jit(
+            partial(self._sample, core, num_frames)))
+        out = fn(params, x, mouse, btn, rng)
+        if self.only_return_generated:
+            out = out[:, -num_frames:]
+        return out
+
+    def _sample(self, core, num_frames, params, x, mouse, btn, rng):
+        b, init_len, c, h, w = x.shape
+        dt = resolve_schedule(self.n_steps, self.custom_schedule)
+        capacity = self.max_window or (init_len + num_frames)
+        cache = KVCache.from_config(core.config, b, capacity_frames=capacity,
+                                    dtype=x.dtype)
+
+        # ---- STEP 1: cache context at noise_prev
+        rng, r_ctx = jax.random.split(rng)
+        noisy_ctx = zlerp(r_ctx, x, self.noise_prev)
+        t_ctx = jnp.full((b, init_len), self.noise_prev, dtype=x.dtype)
+        _, cache = core.apply(params, noisy_ctx, t_ctx,
+                              mouse[:, :init_len], btn[:, :init_len],
+                              kv_cache=cache, write=True)
+
+        # ---- STEP 2/3: frame loop
+        def gen_step(carry, idx):
+            cache, rng = carry
+            rng, r_init, r_renoise = jax.random.split(rng, 3)
+            cur = jax.random.normal(r_init, (b, 1, c, h, w), x.dtype)
+            t = jnp.ones((b, 1), x.dtype)
+
+            start = init_len + idx
+            cur_mouse = jax.lax.dynamic_slice_in_dim(mouse, start, 1, axis=1)
+            cur_btn = jax.lax.dynamic_slice_in_dim(btn, start, 1, axis=1)
+            null_mouse = jnp.zeros_like(cur_mouse)
+            null_btn = jnp.zeros_like(cur_btn)
+
+            def denoise(state, dt_i):
+                cur, t = state
+                pred, _ = core.apply(params, cur, t, cur_mouse, cur_btn,
+                                     kv_cache=cache, decoding=True)
+                if self.cfg_scale != 1.0:
+                    pred_u, _ = core.apply(params, cur, t, null_mouse,
+                                           null_btn, kv_cache=cache,
+                                           decoding=True)
+                    pred = pred_u + self.cfg_scale * (pred - pred_u)
+                return (cur - dt_i * pred, t - dt_i), None
+
+            (cur, t), _ = jax.lax.scan(denoise, (cur, t), dt)
+
+            noisy = zlerp(r_renoise, cur, self.noise_prev)
+            t_noisy = jnp.full_like(t, self.noise_prev)
+            _, cache = core.apply(params, noisy, t_noisy, cur_mouse, cur_btn,
+                                  kv_cache=cache, write=True, decoding=True)
+            return (cache, rng), cur[:, 0]
+
+        (_, _), frames = jax.lax.scan(
+            gen_step, (cache, rng), jnp.arange(num_frames, dtype=jnp.int32))
+        frames = jnp.transpose(frames, (1, 0, 2, 3, 4))
+        return jnp.concatenate([x, frames], axis=1)
+
+
+class AVCachingSampler:
+    """v1 streaming sampler (reference: owl_wms/sampling/av_caching.py:9-110).
+    cfg_scale must be 1.0 (reference asserts this). NB: the reference v1
+    folds history re-caching into a combined first call per frame; here the
+    re-encode is an explicit write-forward (same cache contents, one fused
+    graph) — output semantics match, the quirk does not."""
+
+    def __init__(self, n_steps: int = 16, cfg_scale: float = 1.0,
+                 num_frames: int = 60, noise_prev: float = 0.2,
+                 window_length=None, only_return_generated: bool = False, **_):
+        assert cfg_scale == 1.0, "AVCachingSampler(v1) requires cfg_scale 1.0"
+        self.n_steps = n_steps
+        self.num_frames = num_frames
+        self.noise_prev = noise_prev
+        self.only_return_generated = only_return_generated
+        self._jit = JitCache()
+
+    def __call__(self, core, params, x, mouse, btn, rng):
+        num_frames = min(self.num_frames, mouse.shape[1] - x.shape[1])
+        key = (id(core), x.shape, mouse.shape, str(x.dtype), num_frames)
+        fn = self._jit.get(key, lambda: jax.jit(
+            partial(self._sample, core, num_frames)))
+        out = fn(params, x, mouse, btn, rng)
+        if self.only_return_generated:
+            out = out[:, -num_frames:]
+        return out
+
+    def _sample(self, core, num_frames, params, x, mouse, btn, rng):
+        b, init_len, c, h, w = x.shape
+        dt = resolve_schedule(self.n_steps, None)
+        capacity = init_len + num_frames
+        cache = KVCache.from_config(core.config, b, capacity_frames=capacity,
+                                    dtype=x.dtype)
+
+        rng, r_ctx = jax.random.split(rng)
+        noisy_ctx = zlerp(r_ctx, x, self.noise_prev)
+        t_ctx = jnp.full((b, init_len), self.noise_prev, dtype=x.dtype)
+        _, cache = core.apply(params, noisy_ctx, t_ctx,
+                              mouse[:, :init_len], btn[:, :init_len],
+                              kv_cache=cache, write=True)
+
+        def gen_step(carry, idx):
+            cache, rng = carry
+            rng, r_init, r_renoise = jax.random.split(rng, 3)
+            cur = jax.random.normal(r_init, (b, 1, c, h, w), x.dtype)
+            t = jnp.ones((b, 1), x.dtype)
+
+            start = init_len + idx
+            cur_mouse = jax.lax.dynamic_slice_in_dim(mouse, start, 1, axis=1)
+            cur_btn = jax.lax.dynamic_slice_in_dim(btn, start, 1, axis=1)
+
+            def denoise(state, dt_i):
+                cur, t = state
+                pred, _ = core.apply(params, cur, t, cur_mouse, cur_btn,
+                                     kv_cache=cache, decoding=True)
+                return (cur - dt_i * pred, t - dt_i), None
+
+            (cur, t), _ = jax.lax.scan(denoise, (cur, t), dt)
+
+            noisy = zlerp(r_renoise, cur, self.noise_prev)
+            t_noisy = jnp.full_like(t, self.noise_prev)
+            _, cache = core.apply(params, noisy, t_noisy, cur_mouse, cur_btn,
+                                  kv_cache=cache, write=True, decoding=True)
+            return (cache, rng), cur[:, 0]
+
+        (_, _), frames = jax.lax.scan(
+            gen_step, (cache, rng), jnp.arange(num_frames, dtype=jnp.int32))
+        frames = jnp.transpose(frames, (1, 0, 2, 3, 4))
+        return jnp.concatenate([x, frames], axis=1)
+
+
+class AVCachingOneStepSampler(AVCachingSamplerV2):
+    """One-step distilled-student variant — implements the sampler the
+    reference registry names but never defined
+    (reference: owl_wms/sampling/__init__.py:32-33 maps
+    ``av_caching_one_step`` to a missing class)."""
+
+    def __init__(self, **kwargs):
+        kwargs.setdefault("custom_schedule", [1.0])
+        kwargs.setdefault("cfg_scale", 1.0)
+        super().__init__(**kwargs)

@@ -1,0 +1,42 @@
+"""Sampling noise schedules.
+
+``get_sd3_euler`` reproduces the reference's use of diffusers'
+FlowMatchEulerDiscreteScheduler with shift=3
+(reference: owl_wms/sampling/schedulers.py:5-13) natively:
+sigma_i = (n - i) / n for i = 0..n-1, time-shifted by
+sigma' = shift * sigma / (1 + (shift - 1) * sigma), with a terminal 0;
+returned as the per-step Euler deltas dt_i = t_i - t_{i+1}.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def get_sd3_euler(n_steps: int, shift: float = 3.0) -> jnp.ndarray:
+    sigmas = np.arange(n_steps, 0, -1, dtype=np.float64) / n_steps
+    ts = shift * sigmas / (1.0 + (shift - 1.0) * sigmas)
+    ts = np.concatenate([ts, [0.0]])
+    dt = ts[:-1] - ts[1:]
+    return jnp.asarray(dt, dtype=jnp.float32)
+
+
+def get_deltas(custom_schedule) -> jnp.ndarray:
+    """Custom schedule -> deltas, appending terminal 0
+    (reference: owl_wms/sampling/av_caching_v2.py:12-22)."""
+    sched = list(custom_schedule)
+    if sched[-1] != 0.0:
+        sched = sched + [0.0]
+    deltas = []
+    crnt = sched[0]
+    for nxt in sched[1:]:
+        deltas.append(abs(nxt - crnt))
+        crnt = nxt
+    return jnp.asarray(deltas, dtype=jnp.float32)
+
+
+def resolve_schedule(n_steps: int, custom_schedule=None) -> jnp.ndarray:
+    if custom_schedule is not None:
+        return get_deltas(custom_schedule)
+    return get_sd3_euler(n_steps)
