@@ -1,0 +1,56 @@
+"""Synthetic data generators — deterministic random latents/controls for
+benchmarks, smoke tests, and CI. (Framework extension; the reference has
+no offline-testable data source.)
+
+data_ids: ``synthetic_latent`` (video [b,n,c,h,w] + mouse + buttons),
+``synthetic_av`` (adds audio [b,n,c_a]), ``synthetic_audio_latent``
+([b,n,c]), ``synthetic_waveform`` ([b,n_samples,2]).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class SyntheticLoader:
+    def __init__(self, batch_size: int, spec, seed: int = 0):
+        """spec: list of (shape_without_batch, kind) where kind in
+        {'normal', 'binary'}."""
+        self.batch_size = batch_size
+        self.spec = spec
+        self.seed = seed
+
+    def __iter__(self):
+        rs = np.random.RandomState(self.seed)
+        while True:
+            out = []
+            for shape, kind in self.spec:
+                full = (self.batch_size,) + tuple(shape)
+                if kind == "binary":
+                    out.append((rs.rand(*full) > 0.5).astype(np.float32))
+                else:
+                    out.append(rs.randn(*full).astype(np.float32))
+            yield out  # always a list, even for single-column specs
+
+
+def get_loader(data_id, batch_size, window_length=16, channels=128,
+               audio_channels=64, sample_size=8, n_buttons=11,
+               n_mouse_axes=2, n_samples=88200,
+               process_index: int = 0, **_):
+    seed = 1000 + process_index
+    if data_id == "synthetic_latent":
+        spec = [((window_length, channels, sample_size, sample_size), "normal"),
+                ((window_length, n_mouse_axes), "normal"),
+                ((window_length, n_buttons), "binary")]
+    elif data_id == "synthetic_av":
+        spec = [((window_length, channels, sample_size, sample_size), "normal"),
+                ((window_length, audio_channels), "normal"),
+                ((window_length, n_mouse_axes), "normal"),
+                ((window_length, n_buttons), "binary")]
+    elif data_id == "synthetic_audio_latent":
+        spec = [((window_length, channels), "normal")]
+    elif data_id == "synthetic_waveform":
+        spec = [((n_samples, 2), "normal")]
+    else:
+        raise ValueError(f"Invalid synthetic data id: {data_id}")
+    return SyntheticLoader(batch_size, spec, seed)

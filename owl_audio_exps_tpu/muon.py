@@ -1,0 +1,140 @@
+"""Muon optimizer (Newton-Schulz-5 orthogonalized momentum) in optax.
+
+Reference: owl_wms/muon.py. The NS5 iteration
+(owl_wms/muon.py:11-38) runs in bfloat16 on the MXU; the reference's
+rank-round-robin work sharding + all_gather (owl_wms/muon.py:95-115) is
+subsumed by the mesh: with FSDP-sharded parameters XLA shards the
+orthogonalization and inserts the gathers itself.
+
+``init_muon`` builds the combined optimizer: AdamW for embeddings /
+projections / <2-D params (selected by ``adamw_keys`` substring match on
+parameter paths), Muon for the 2-D+ matrices
+(reference: owl_wms/muon.py:117-176 CombinedOptimizer).
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def zeropower_via_newtonschulz5(G: jnp.ndarray, steps: int = 5) -> jnp.ndarray:
+    """Quintic Newton-Schulz orthogonalization, bf16 compute
+    (reference: owl_wms/muon.py:11-38; public Muon algorithm)."""
+    assert G.ndim >= 2
+    a, b, c = 3.4445, -4.7750, 2.0315
+    X = G.astype(jnp.bfloat16)
+    transposed = G.shape[-2] > G.shape[-1]
+    if transposed:
+        X = jnp.swapaxes(X, -1, -2)
+    X = X / (jnp.linalg.norm(X, axis=(-2, -1), keepdims=True) + 1e-7)
+
+    def body(X, _):
+        A = X @ jnp.swapaxes(X, -1, -2)
+        B = b * A + c * (A @ A)
+        return a * X + B @ X, None
+
+    X, _ = jax.lax.scan(body, X, None, length=steps)
+    if transposed:
+        X = jnp.swapaxes(X, -1, -2)
+    return X
+
+
+class MuonState(NamedTuple):
+    momentum: Any
+
+
+def muon(lr: float, momentum: float = 0.95, nesterov: bool = True,
+         ns_steps: int = 5, weight_decay: float = 0.01
+         ) -> optax.GradientTransformation:
+    """Muon as a GradientTransformation producing the full parameter delta
+    (decay + orthogonalized step), matching the reference update rule
+    (owl_wms/muon.py:70-84):
+        buf <- lerp(buf, g, 1 - momentum)
+        g'  <- nesterov ? lerp(g, buf, momentum) : buf
+        o   <- NS5(reshape_2d(g'))
+        p   <- p * (1 - lr*wd) - lr * max(1, m/n)^0.5 * o
+    """
+
+    def init_fn(params):
+        return MuonState(momentum=jax.tree.map(jnp.zeros_like, params))
+
+    def update_fn(grads, state, params):
+        assert params is not None, "muon requires params (weight decay)"
+
+        def upd(g, buf, p):
+            new_buf = buf + (1.0 - momentum) * (g - buf)
+            gm = g + momentum * (new_buf - g) if nesterov else new_buf
+            shape = gm.shape
+            if gm.ndim > 2:
+                gm = gm.reshape(shape[0], -1)
+            o = zeropower_via_newtonschulz5(gm, ns_steps).astype(p.dtype)
+            if o.shape != shape:
+                o = o.reshape(shape)
+            scale = max(1.0, o.shape[-2] / o.shape[-1]) ** 0.5 \
+                if o.ndim >= 2 else 1.0
+            delta = -(lr * weight_decay) * p - (lr * scale) * o
+            return delta, new_buf
+
+        flat_g, treedef = jax.tree.flatten(grads)
+        flat_b = treedef.flatten_up_to(state.momentum)
+        flat_p = treedef.flatten_up_to(params)
+        out = [upd(g, b, p) for g, b, p in zip(flat_g, flat_b, flat_p)]
+        deltas = treedef.unflatten([d for d, _ in out])
+        new_momentum = treedef.unflatten([b for _, b in out])
+        return deltas, MuonState(momentum=new_momentum)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def _path_str(path_entries) -> str:
+    return ".".join(str(getattr(p, "key", p)) for p in path_entries)
+
+
+def muon_adamw_labels(params, adamw_keys=None):
+    """Label pytree: 'adamw' for keyed / <2-D params, 'muon' otherwise
+    (reference: owl_wms/muon.py:126-135)."""
+    adamw_keys = list(adamw_keys or [])
+
+    def label(path, leaf):
+        name = _path_str(path)
+        if leaf.ndim < 2 or any(k in name for k in adamw_keys):
+            return "adamw"
+        return "muon"
+
+    labels = jax.tree_util.tree_map_with_path(label, params)
+
+    # parity check: every adamw key must hit at least one param
+    # (reference: owl_wms/muon.py:138-140)
+    all_names = []
+    jax.tree_util.tree_map_with_path(
+        lambda p, _: all_names.append(_path_str(p)), params)
+    for k in adamw_keys:
+        assert any(k in n for n in all_names), \
+            f"AdamW key {k!r} not found in model parameters"
+    return labels
+
+
+def init_muon(params, lr: float = 1e-3, momentum: float = 0.95,
+              adamw_lr: float = 1e-4, adamw_wd: float = 1e-4,
+              adamw_eps: float = 1e-15, adamw_betas=(0.9, 0.999),
+              adamw_keys=None, weight_decay: float = 0.01,
+              **_) -> optax.GradientTransformation:
+    """Combined Muon + AdamW (reference: owl_wms/muon.py:117-179).
+
+    NB: Muon bakes its lr into the delta (the reference does the same),
+    so the combined transform is applied without an outer scale_by_lr.
+    """
+    labels = muon_adamw_labels(params, adamw_keys)
+    return optax.multi_transform(
+        {
+            "muon": muon(lr, momentum, weight_decay=weight_decay),
+            "adamw": optax.adamw(adamw_lr, b1=adamw_betas[0],
+                                 b2=adamw_betas[1], eps=adamw_eps,
+                                 weight_decay=adamw_wd),
+        },
+        labels,
+    )

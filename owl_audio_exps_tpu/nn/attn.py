@@ -108,11 +108,14 @@ class Attn(nn.Module):
         H = cfg.n_heads
         Dh = cfg.d_model // H
 
+        # fused QKV packed heads-major ([H, 3, Dh] on the output dim) so the
+        # tensor-parallel axis shards over heads (see parallel/sharding.py);
+        # the torch importer permutes the reference's [3, H, Dh] rows.
         qkv = Linear(3 * cfg.d_model, dtype=self.dtype, name="qkv")(x)
-        qkv = qkv.reshape(B, L, 3, H, Dh)
-        q = jnp.transpose(qkv[:, :, 0], (0, 2, 1, 3))  # [B, H, L, Dh]
-        k = jnp.transpose(qkv[:, :, 1], (0, 2, 1, 3))
-        v = jnp.transpose(qkv[:, :, 2], (0, 2, 1, 3))
+        qkv = qkv.reshape(B, L, H, 3, Dh)
+        q = jnp.transpose(qkv[:, :, :, 0], (0, 2, 1, 3))  # [B, H, L, Dh]
+        k = jnp.transpose(qkv[:, :, :, 1], (0, 2, 1, 3))
+        v = jnp.transpose(qkv[:, :, :, 2], (0, 2, 1, 3))
         q, k = rms_norm(q), rms_norm(k)
 
         rope = rope_table_for(cfg)

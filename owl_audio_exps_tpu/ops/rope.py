@@ -215,8 +215,11 @@ class RopeTable:
 
     def __init__(self, config):
         angles = get_rope_freqs(config)
-        self.cos = jnp.asarray(np.cos(angles), dtype=jnp.float32)
-        self.sin = jnp.asarray(np.sin(angles), dtype=jnp.float32)
+        # keep tables as NUMPY: a jnp array materialized inside a jit trace
+        # is a tracer, and caching it across traces leaks; numpy constants
+        # are safely closed over by any number of traces.
+        self.cos = np.cos(angles).astype(np.float32)
+        self.sin = np.sin(angles).astype(np.float32)
         self.n_tokens = angles.shape[0]
 
     def __call__(self, x: jnp.ndarray, positions: jnp.ndarray) -> jnp.ndarray:

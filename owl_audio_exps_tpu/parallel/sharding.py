@@ -1,0 +1,74 @@
+"""Parameter sharding rules: path-pattern -> PartitionSpec.
+
+t5x-style: shardings are derived from parameter tree paths, so models
+stay annotation-free and FSDP/TP are config flips (SURVEY.md §7 design
+stance). GSPMD propagates activation shardings from these weight specs;
+row-parallel projections (attn out, mlp fc2) trigger the psum.
+
+Note on the QKV projection: the fused kernel packs outputs heads-major
+([H, 3, Dh], see nn/attn.py) so the tensor axis shards cleanly over heads.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict
+
+import jax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from .mesh import AXIS_FSDP, AXIS_TENSOR, get_mesh
+
+# ordered: first match wins
+RULES = [
+    # column-parallel (shard outputs over tensor; fsdp on inputs)
+    (r"attn/qkv/kernel$", P(AXIS_FSDP, AXIS_TENSOR)),
+    (r"attn/qkv/bias$", P(AXIS_TENSOR)),
+    (r"mlp/.*fc1/kernel$", P(AXIS_FSDP, AXIS_TENSOR)),
+    (r"mlp/.*fc1/bias$", P(AXIS_TENSOR)),
+    # row-parallel (shard inputs over tensor; fsdp on outputs)
+    (r"attn/out/kernel$", P(AXIS_TENSOR, AXIS_FSDP)),
+    (r"mlp/.*fc2/kernel$", P(AXIS_TENSOR, AXIS_FSDP)),
+    # modulation / embedding / projection matrices: fsdp over inputs
+    (r"kernel$", P(AXIS_FSDP, None)),
+    (r"embedding$", P(AXIS_FSDP, None)),
+]
+
+
+def spec_for_path(path: str, ndim: int) -> P:
+    for pattern, spec in RULES:
+        if re.search(pattern, path):
+            if len(spec) <= ndim:
+                return spec
+            break
+    return P()
+
+
+def _flatten_paths(tree) -> Dict[str, Any]:
+    flat = {}
+
+    def walk(node, prefix):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(v, f"{prefix}/{k}" if prefix else k)
+        else:
+            flat[prefix] = node
+
+    walk(tree, "")
+    return flat
+
+
+def param_shardings(params, mesh=None):
+    """PartitionSpec pytree matching ``params`` (path-rule derived)."""
+    mesh = mesh or get_mesh()
+
+    def assign(path_entries, leaf):
+        path = "/".join(str(getattr(p, "key", p)) for p in path_entries)
+        return NamedSharding(mesh, spec_for_path(path, leaf.ndim))
+
+    return jax.tree_util.tree_map_with_path(assign, params)
+
+
+def shard_params(params, mesh=None):
+    """Device-put params according to the rules."""
+    return jax.device_put(params, param_shardings(params, mesh))
