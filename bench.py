@@ -1,0 +1,80 @@
+"""Benchmark: streaming audio generation real-time factor (RTF).
+
+North star (BASELINE.md): audio-seconds generated per wall-clock second
+per chip, >= 1, at the reference audio model scale (configs/audio.yml:
+16L x 1024d DiT, 64-ch latents, 1 token per latent, 120 latents = 2 s of
+44.1 kHz stereo; each latent spans 1/60 s).
+
+Serve config matches the reference's audio.yml sampler block: 2-step
+custom schedule per token, noise_prev 0.2, rolling 120-token window, KV
+caching. The whole generation loop is one jitted lax.scan.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/jax_tpu_cache")
+
+LATENTS_PER_SECOND = 60.0  # 120 latents per 2 s window (BASELINE.md)
+
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/jax_tpu_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+    from owl_audio_exps_tpu.configs import transformer_config
+    from owl_audio_exps_tpu.models.audiorft import AudioRFTCore
+    from owl_audio_exps_tpu.sampling.audio_caching import AudioCachingSampler
+
+    cfg = transformer_config(
+        model_id="audio_rft", sample_size=120, channels=64,
+        n_layers=16, n_heads=16, d_model=1024,
+        tokens_per_frame=1, n_frames=4096,
+        cfg_prob=0.0, causal=True, uncond=True, backbone="dit",
+        has_audio=True, rope_impl="audio1d",
+        local_window=16, global_window=None,
+    )
+
+    core = AudioRFTCore(cfg, dtype=jnp.bfloat16)
+    rs = np.random.RandomState(0)
+    init_len, num_tokens = 120, 240
+    x = jnp.asarray(rs.randn(1, init_len, cfg.channels), jnp.bfloat16)
+    t0 = jnp.zeros((1, init_len), jnp.bfloat16)
+    params = core.init(jax.random.key(0), x, t0)
+
+    sampler = AudioCachingSampler(
+        n_steps=2, num_tokens=num_tokens, noise_prev=0.2,
+        custom_schedule=[1.0, 0.5], max_window=120)
+
+    # warmup / compile (fetch values — device block alone can be lazy
+    # through remote-relay backends)
+    out = sampler(core, params, x, jax.random.key(1))
+    np.asarray(out)
+
+    times = []
+    for i in range(3):
+        t_start = time.perf_counter()
+        out = sampler(core, params, x, jax.random.key(2 + i))
+        np.asarray(out)
+        times.append(time.perf_counter() - t_start)
+
+    wall = float(np.median(times))
+    audio_seconds = num_tokens / LATENTS_PER_SECOND
+    rtf = audio_seconds / wall
+
+    print(json.dumps({
+        "metric": "streaming_audio_rtf",
+        "value": round(rtf, 4),
+        "unit": "audio_sec_per_sec_per_chip",
+        "vs_baseline": round(rtf / 1.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -35,12 +35,28 @@ RULES = [
 ]
 
 
-def spec_for_path(path: str, ndim: int) -> P:
+def _axis_size(mesh, axis) -> int:
+    if axis is None:
+        return 1
+    if isinstance(axis, (tuple, list)):
+        out = 1
+        for a in axis:
+            out *= mesh.shape[a]
+        return out
+    return mesh.shape[axis]
+
+
+def spec_for_path(path: str, shape, mesh) -> P:
+    """Rule lookup with a divisibility guard: a mesh axis only applies to a
+    dimension it divides evenly (odd-sized embeddings replicate)."""
     for pattern, spec in RULES:
         if re.search(pattern, path):
-            if len(spec) <= ndim:
-                return spec
-            break
+            if len(spec) > len(shape):
+                break
+            guarded = tuple(
+                axis if shape[i] % _axis_size(mesh, axis) == 0 else None
+                for i, axis in enumerate(spec))
+            return P(*guarded)
     return P()
 
 
@@ -64,7 +80,7 @@ def param_shardings(params, mesh=None):
 
     def assign(path_entries, leaf):
         path = "/".join(str(getattr(p, "key", p)) for p in path_entries)
-        return NamedSharding(mesh, spec_for_path(path, leaf.ndim))
+        return NamedSharding(mesh, spec_for_path(path, leaf.shape, mesh))
 
     return jax.tree_util.tree_map_with_path(assign, params)
 

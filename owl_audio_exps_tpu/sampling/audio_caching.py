@@ -81,7 +81,10 @@ class AudioCachingSampler:
                 cur, t = state
                 pred, _ = core.apply(params, cur, t, kv_cache=cache,
                                      decoding=True)
-                return (cur - dt_i * pred, t - dt_i), None
+                # Euler update in fp32, carry stays in the model dtype
+                new = cur.astype(jnp.float32) - dt_i * pred.astype(jnp.float32)
+                return (new.astype(cur.dtype),
+                        (t.astype(jnp.float32) - dt_i).astype(t.dtype)), None
 
             (cur, t), _ = jax.lax.scan(denoise, (cur, t), dt)
 

@@ -101,7 +101,9 @@ class AVCachingSamplerV2:
                                            null_btn, kv_cache=cache,
                                            decoding=True)
                     pred = pred_u + self.cfg_scale * (pred - pred_u)
-                return (cur - dt_i * pred, t - dt_i), None
+                new = cur.astype(jnp.float32) - dt_i * pred.astype(jnp.float32)
+                return (new.astype(cur.dtype),
+                        (t.astype(jnp.float32) - dt_i).astype(t.dtype)), None
 
             (cur, t), _ = jax.lax.scan(denoise, (cur, t), dt)
 
@@ -172,7 +174,9 @@ class AVCachingSampler:
                 cur, t = state
                 pred, _ = core.apply(params, cur, t, cur_mouse, cur_btn,
                                      kv_cache=cache, decoding=True)
-                return (cur - dt_i * pred, t - dt_i), None
+                new = cur.astype(jnp.float32) - dt_i * pred.astype(jnp.float32)
+                return (new.astype(cur.dtype),
+                        (t.astype(jnp.float32) - dt_i).astype(t.dtype)), None
 
             (cur, t), _ = jax.lax.scan(denoise, (cur, t), dt)
 

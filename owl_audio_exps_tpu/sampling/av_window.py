@@ -100,9 +100,11 @@ class AVWindowSampler:
                 pa = pa_u + self.cfg_scale * (pa_c - pa_u)
             else:
                 pv, pa = pv_c, pa_c
-            new_x = wx[:, -1:] - pv[:, -1:] * dt_i
-            new_a = wa[:, -1:] - pa[:, -1:] * dt_i
-            new_t = wt[:, -1:] - dt_i
+            new_x = (wx[:, -1:].astype(jnp.float32)
+                     - pv[:, -1:].astype(jnp.float32) * dt_i).astype(wx.dtype)
+            new_a = (wa[:, -1:].astype(jnp.float32)
+                     - pa[:, -1:].astype(jnp.float32) * dt_i).astype(wa.dtype)
+            new_t = (wt[:, -1:].astype(jnp.float32) - dt_i).astype(wt.dtype)
             wx = jnp.concatenate([wx[:, :-1], new_x], axis=1)
             wa = jnp.concatenate([wa[:, :-1], new_a], axis=1)
             wt = jnp.concatenate([wt[:, :-1], new_t], axis=1)
@@ -215,7 +217,12 @@ class CausalAVWindowSampler(AVWindowSampler):
                 pa = pa_u + self.cfg_scale * (pa_c - pa_u)
             else:
                 pv, pa = pv_c, pa_c
-            return (cur_x - pv * dt_i, cur_a - pa * dt_i, cur_t - dt_i), None
+            nx = (cur_x.astype(jnp.float32)
+                  - pv.astype(jnp.float32) * dt_i).astype(cur_x.dtype)
+            na = (cur_a.astype(jnp.float32)
+                  - pa.astype(jnp.float32) * dt_i).astype(cur_a.dtype)
+            nt = (cur_t.astype(jnp.float32) - dt_i).astype(cur_t.dtype)
+            return (nx, na, nt), None
 
         (cur_x, cur_a, _), _ = jax.lax.scan(
             step, (cur_x, cur_a, cur_t), dt[1:])
