@@ -44,6 +44,22 @@ def effective_tokens_per_frame(config) -> int:
     return config.tokens_per_frame
 
 
+def use_splash_path(config, q_len: int, kv_cache, decoding: bool) -> bool:
+    """Route self-attention through the splash Pallas kernel on TPU for
+    long sequences (training / full-window forwards). Cached decode uses
+    the ring-cache path. Override with config.attn_impl in
+    {'auto', 'dense', 'splash'}."""
+    impl = config.get("attn_impl", "auto")
+    if impl == "dense" or kv_cache is not None or decoding:
+        return False
+    if q_len % config.tokens_per_frame != 0:
+        return False
+    if impl == "splash":
+        return True
+    from ..ops.splash import splash_available
+    return splash_available() and q_len >= 1024
+
+
 def build_masks(
     config,
     q_len: int,
@@ -102,7 +118,9 @@ class Attn(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask, kv_cache: Optional[KVCache] = None,
-                 write: bool = False) -> Tuple[jnp.ndarray, Optional[KVCache]]:
+                 write: bool = False, splash: bool = False,
+                 doc_id: Optional[jnp.ndarray] = None
+                 ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
         cfg = self.config
         B, L, _ = x.shape
         H = cfg.n_heads
@@ -140,8 +158,17 @@ class Attn(nn.Module):
             v = jnp.concatenate(
                 [jnp.transpose(cv, (0, 2, 1, 3)).astype(v.dtype), v], axis=2)
 
-        out = dot_attention(q.astype(self.dtype), k.astype(self.dtype),
-                            v.astype(self.dtype), mask)
+        if splash and kv_cache is None:
+            from ..ops.splash import splash_attention
+            window = cfg.get("local_window") if self.local \
+                else cfg.get("global_window")
+            out = splash_attention(
+                q.astype(self.dtype), k.astype(self.dtype),
+                v.astype(self.dtype), cfg.tokens_per_frame, window,
+                bool(cfg.causal), doc_id)
+        else:
+            out = dot_attention(q.astype(self.dtype), k.astype(self.dtype),
+                                v.astype(self.dtype), mask)
         out = jnp.transpose(out, (0, 2, 1, 3)).reshape(B, L, cfg.d_model)
         out = Linear(cfg.d_model, dtype=self.dtype, name="out")(out)
         return out, new_cache
@@ -157,12 +184,13 @@ class DiTBlock(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, cond, mask, kv_cache=None, write: bool = False):
+    def __call__(self, x, cond, mask, kv_cache=None, write: bool = False,
+                 splash: bool = False, doc_id=None):
         d = self.config.d_model
         h, kv_cache = Attn(self.config, self.layer_idx, self.local,
                            dtype=self.dtype, name="attn")(
             AdaLN(d, dtype=self.dtype, name="adaln1")(x, cond),
-            mask, kv_cache, write)
+            mask, kv_cache, write, splash, doc_id)
         x = x + Gate(d, dtype=self.dtype, name="gate1")(h, cond)
 
         h = MLP(d, dtype=self.dtype, name="mlp")(
@@ -194,19 +222,23 @@ class DiT(nn.Module):
                  deterministic: bool = True):
         cfg = self.config
         flags = local_layer_flags(cfg)
-        local_mask, global_mask = build_masks(
-            cfg, x.shape[1], doc_id, kv_cache, decoding)
+        splash = use_splash_path(cfg, x.shape[1], kv_cache, decoding)
+        if splash:
+            local_mask = global_mask = None
+        else:
+            local_mask, global_mask = build_masks(
+                cfg, x.shape[1], doc_id, kv_cache, decoding)
 
         use_remat = (not deterministic) and cfg.get("gradient_checkpointing", False)
         block_cls = DiTBlock
         if use_remat and kv_cache is None:
-            block_cls = nn.remat(DiTBlock, static_argnums=(5,))
+            block_cls = nn.remat(DiTBlock, static_argnums=(5, 6))
 
         for idx, local in enumerate(flags):
             mask = local_mask if local else global_mask
             x, kv_cache = block_cls(
                 cfg, idx, local, dtype=self.dtype, name=f"blocks_{idx}")(
-                x, cond, mask, kv_cache, write)
+                x, cond, mask, kv_cache, write, splash, doc_id)
         if kv_cache is not None and write:
             # all layers wrote the same token count; commit counters once
             kv_cache = kv_cache.advance(x.shape[1])

@@ -1,0 +1,137 @@
+"""Block-sparse flash attention for the training path (TPU).
+
+The reference compiles its frame-causal x sliding-window x doc masks into
+flex-attention BlockMasks (reference: owl_wms/nn/attn.py:13-62). Here the
+same semantics run through the TPU splash-attention Pallas kernel
+(jax.experimental.pallas.ops.tpu.splash_attention) with:
+
+* ``FrameMask`` — a computable mask encoding frame-granular causality and
+  the frame window: visible(q, kv) ⇔ (fkv <= fq if causal) and
+  |fq - fkv| < window, with f = token_index // tokens_per_frame. The
+  kernel's mask-info precompute turns this into block skip/partial/full
+  metadata — the analogue of flex-attention's BlockMask, but tiled for
+  the MXU. This is what makes 98k-token training sequences feasible
+  (SURVEY.md §5.7: local 16-frame windows on 3 of 4 layers).
+* document packing via SegmentIds (per-token doc ids), matching the
+  reference's same-document masking (owl_wms/nn/attn.py:52-53).
+
+The kernel provides a fused backward pass (custom vjp), so this is the
+training attention. Q is pre-scaled (the kernel applies no 1/sqrt(d)).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from jax.experimental.pallas.ops.tpu.splash_attention import (
+    splash_attention_kernel as splash_kernel,
+    splash_attention_mask as splash_mask,
+)
+
+
+class FrameMask(splash_mask._ComputableMask):
+    """Frame-granular causal+window visibility."""
+
+    def __init__(self, shape, tokens_per_frame: int,
+                 window: Optional[int], causal: bool,
+                 shard_count: int = 1):
+        self.tokens_per_frame = tokens_per_frame
+        self.window = window
+        self.causal = causal
+
+        def mask_function(q_ids, kv_ids):
+            # NB: evaluated BOTH with numpy (block metadata precompute) and
+            # with traced jnp arrays (inside partial-mask kernel blocks) —
+            # operators only, no np.* calls.
+            fq = q_ids // tokens_per_frame
+            fkv = kv_ids // tokens_per_frame
+            if window is not None:
+                d = fq - fkv
+                mask = (d < window) & (d > -window)
+                if causal:
+                    mask = mask & (fkv <= fq)
+            elif causal:
+                mask = fkv <= fq
+            else:
+                mask = (fq >= 0) & (fkv >= 0)  # all-true, broadcastable
+            return mask
+
+        super().__init__(shape=shape, mask_function=mask_function,
+                         shard_count=shard_count)
+
+    def __eq__(self, other):
+        return (isinstance(other, type(self))
+                and self.shape == other.shape
+                and self.tokens_per_frame == other.tokens_per_frame
+                and self.window == other.window
+                and self.causal == other.causal)
+
+    def __hash__(self):
+        return hash((type(self), self.shape, self.tokens_per_frame,
+                     self.window, self.causal))
+
+
+def _block_sizes(seq_len: int) -> splash_kernel.BlockSizes:
+    bq = min(512, max(128, seq_len))
+    bkv = min(1024, max(128, seq_len))
+    return splash_kernel.BlockSizes(
+        block_q=bq, block_kv=bkv, block_kv_compute=min(512, bkv),
+        block_q_dkv=bq, block_kv_dkv=bkv,
+        block_kv_dkv_compute=min(512, bkv),
+        block_q_dq=bq, block_kv_dq=bkv,
+    )
+
+
+@lru_cache(maxsize=64)
+def _make_kernel(n_heads: int, q_len: int, kv_len: int,
+                 tokens_per_frame: int, window: Optional[int],
+                 causal: bool):
+    mask = splash_mask.MultiHeadMask(
+        [FrameMask((q_len, kv_len), tokens_per_frame, window, causal)
+         for _ in range(n_heads)])
+    # kernel construction precomputes block mask-info arrays; force them
+    # concrete even when first reached inside a jit trace (this memo is
+    # shared across traces)
+    with jax.ensure_compile_time_eval():
+        return splash_kernel.make_splash_mha_single_device(
+            mask=mask, block_sizes=_block_sizes(q_len))
+
+
+def splash_attention(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+    tokens_per_frame: int, window: Optional[int], causal: bool,
+    doc_id: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """q,k,v: [B, H, L, Dh]; doc_id: per-frame [B, n_frames] int32 or None.
+
+    Returns [B, H, L, Dh] in q's dtype.
+    """
+    B, H, L, Dh = q.shape
+    kernel = _make_kernel(H, L, k.shape[2], tokens_per_frame, window, causal)
+
+    scale = Dh ** -0.5
+    qs = (q * scale).astype(q.dtype)
+
+    if doc_id is not None:
+        tok_doc = jnp.repeat(doc_id.astype(jnp.int32), tokens_per_frame,
+                             axis=-1)  # [B, L]
+        seg_fn = jax.vmap(
+            lambda qq, kk, vv, d: kernel(
+                qq, kk, vv,
+                segment_ids=splash_kernel.SegmentIds(q=d, kv=d)))
+        out = seg_fn(qs, k, v, tok_doc)
+    else:
+        out = jax.vmap(kernel)(qs, k, v)
+    return out.astype(q.dtype)
+
+
+def splash_available() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False

@@ -1,0 +1,237 @@
+"""CausVid DMD distillation trainer (video).
+
+Reference: owl_wms/trainers/causvid_vid_only.py:311-641. Alternating
+optimization: ``update_ratio`` critic steps (flow-matching loss on
+single-call rollouts) per student DMD step (distribution-matching
+gradient-as-target against a CFG'd teacher). Rollouts re-noise a random
+frame subset at the distilled step grid {1.0, 0.5} (gen_mask_p = 0.25)
+and take a 1-step x0 prediction (causvid_vid_only.py:101-164).
+
+TPU design: the critic phase and the student phase each compile to one
+jitted step (grad-accum scan inside); teacher params are closed-over
+frozen constants.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..data import get_loader
+from .distill_common import (DistillState, DistillTrainerBase,
+                             zlerp_batched, lerp_batched,
+                             sample_discrete_ts, clip_and_update)
+
+
+class CausVidTrainer(DistillTrainerBase):
+    GEN_MASK_P = 0.25   # reference: causvid_vid_only.py:104
+    NOISE_PREV = 0.2
+    TEACHER_CFG_SCALE = 1.5  # reference: get_dmd_loss default
+
+    # ------------------------------------------------------------ rollout
+    def get_rollouts(self, student_params, vid, mouse, btn, rng,
+                     with_grad: bool):
+        """Single-call rollout (reference RolloutManager.get_rollouts)."""
+        r_mask, r_ts, r_noise = jax.random.split(rng, 3)
+        b, n = vid.shape[0], vid.shape[1]
+        gen_mask = jax.random.uniform(r_mask, (b, n)) < self.GEN_MASK_P
+        ts = sample_discrete_ts(r_ts, (b, n))
+        ts_full = jnp.where(gen_mask, ts, self.NOISE_PREV)
+
+        noisy = jax.lax.stop_gradient(
+            zlerp_batched(r_noise, vid, ts_full)).astype(vid.dtype)
+
+        v_pred, _ = self.student.apply({"params": student_params}, noisy,
+                                       ts_full.astype(vid.dtype), mouse, btn)
+        if not with_grad:
+            v_pred = jax.lax.stop_gradient(v_pred)
+
+        te = ts_full[:, :, None, None, None].astype(jnp.float32)
+        gm = gen_mask[:, :, None, None, None]
+        rollout = jnp.where(
+            gm, noisy.astype(jnp.float32) - v_pred.astype(jnp.float32) * te,
+            vid.astype(jnp.float32))
+        # uniform rollout contract shared with SelfForceTrainer:
+        # (rollout, gen_mask, mouse, btn, regression_target)
+        return rollout, gen_mask, mouse, btn, vid.astype(jnp.float32)
+
+    # ------------------------------------------------------------- losses
+    def critic_loss(self, critic_params, student_params, batch, rng):
+        """Flow-matching loss on rollouts (reference get_critic_loss)."""
+        vid, mouse, btn = batch
+        vid = (vid / self.train_cfg.vae_scale).astype(jnp.bfloat16)
+        r_roll, r_ts, r_z = jax.random.split(rng, 3)
+
+        rollout, gen_mask, mouse, btn, _ = self.get_rollouts(
+            jax.lax.stop_gradient(student_params), vid, mouse, btn, r_roll,
+            with_grad=False)
+        rollout = jax.lax.stop_gradient(rollout)
+
+        b, n = vid.shape[0], vid.shape[1]
+        ts = jax.nn.sigmoid(jax.random.normal(r_ts, (b, n)))
+        z = jax.random.normal(r_z, vid.shape, jnp.float32)
+        noisy, target = lerp_batched(rollout, z, ts)
+
+        pred, _ = self.critic.apply(
+            {"params": critic_params}, noisy.astype(vid.dtype),
+            ts.astype(vid.dtype), mouse, btn)
+
+        gm = gen_mask[:, :, None, None, None]
+        loss = jnp.mean(jnp.square(pred.astype(jnp.float32) * gm
+                                   - target * gm))
+        return loss, {"critic_loss": loss}
+
+    def dmd_loss(self, student_params, critic_params, batch, rng):
+        """DMD gradient-as-target + regression (reference get_dmd_loss)."""
+        vid, mouse, btn = batch
+        vid = (vid / self.train_cfg.vae_scale).astype(jnp.bfloat16)
+        r_roll, r_ts, r_z = jax.random.split(rng, 3)
+
+        rollout, gen_mask, mouse, btn, reg_target = self.get_rollouts(
+            student_params, vid, mouse, btn, r_roll, with_grad=True)
+
+        b, n = vid.shape[0], vid.shape[1]
+        ts = jax.nn.sigmoid(jax.random.normal(r_ts, (b, n)))
+        te = ts[:, :, None, None, None]
+        z = jax.random.normal(r_z, vid.shape, jnp.float32)
+        noisy_f32, _ = lerp_batched(jax.lax.stop_gradient(rollout), z, ts)
+        noisy = noisy_f32.astype(vid.dtype)
+        ts_m = ts.astype(vid.dtype)
+
+        cfg_scale = self.TEACHER_CFG_SCALE
+        t_cond, _ = self.teacher.apply({"params": self.teacher_params},
+                                       noisy, ts_m, mouse, btn)
+        if cfg_scale != 1.0:
+            t_uncond, _ = self.teacher.apply(
+                {"params": self.teacher_params}, noisy, ts_m,
+                jnp.zeros_like(mouse), jnp.zeros_like(btn))
+            v_teacher = (t_uncond.astype(jnp.float32)
+                         + cfg_scale * (t_cond.astype(jnp.float32)
+                                        - t_uncond.astype(jnp.float32)))
+        else:
+            v_teacher = t_cond.astype(jnp.float32)
+
+        v_critic, _ = self.critic.apply(
+            {"params": jax.lax.stop_gradient(critic_params)},
+            noisy, ts_m, mouse, btn)
+        v_critic = v_critic.astype(jnp.float32)
+
+        mu_teacher = noisy_f32 - te * v_teacher
+        mu_critic = noisy_f32 - te * v_critic
+
+        normalizer = jnp.mean(
+            jnp.abs(jax.lax.stop_gradient(rollout) - mu_teacher),
+            axis=(1, 2, 3, 4), keepdims=True)
+        grad = (mu_critic - mu_teacher) / (normalizer + 1e-8)
+        grad = jnp.nan_to_num(grad, nan=0.0)
+        target = jax.lax.stop_gradient(rollout - grad)
+
+        gm = gen_mask[:, :, None, None, None]
+        dmd = 0.5 * jnp.mean(jnp.square(rollout * gm - target * gm))
+        regression = jnp.mean(jnp.square(rollout * gm - reg_target * gm))
+
+        w = self.train_cfg.get("regression_weight", 0.0) or 0.0
+        loss = dmd + w * regression
+        return loss, {"dmd_loss": dmd, "regression_loss": regression}
+
+    # --------------------------------------------------------- jit steps
+    def make_steps(self, accum: int):
+        def critic_step(state: DistillState, batch_stack, rng):
+            def micro(carry, inputs):
+                grads_acc, m_acc = carry
+                mb, r = inputs
+                (_, metrics), grads = jax.value_and_grad(
+                    self.critic_loss, has_aux=True)(
+                    state.critic_params, state.student_params, mb, r)
+                return (jax.tree.map(jnp.add, grads_acc, grads),
+                        jax.tree.map(jnp.add, m_acc, metrics)), None
+
+            zeros = jax.tree.map(jnp.zeros_like, state.critic_params)
+            m0 = {"critic_loss": jnp.zeros(())}
+            rngs = jax.random.split(rng, accum)
+            (grads, metrics), _ = jax.lax.scan(
+                micro, (zeros, m0), (batch_stack, rngs))
+            grads = jax.tree.map(lambda g: g / accum, grads)
+            metrics = jax.tree.map(lambda m: m / accum, metrics)
+            new_params, new_opt, gnorm = clip_and_update(
+                self.critic_tx, grads, state.critic_opt, state.critic_params)
+            metrics["critic_grad_norm"] = gnorm
+            return state.replace(critic_params=new_params,
+                                 critic_opt=new_opt), metrics
+
+        def student_step(state: DistillState, batch_stack, rng):
+            def micro(carry, inputs):
+                grads_acc, m_acc = carry
+                mb, r = inputs
+                (_, metrics), grads = jax.value_and_grad(
+                    self.dmd_loss, has_aux=True)(
+                    state.student_params, state.critic_params, mb, r)
+                return (jax.tree.map(jnp.add, grads_acc, grads),
+                        jax.tree.map(jnp.add, m_acc, metrics)), None
+
+            zeros = jax.tree.map(jnp.zeros_like, state.student_params)
+            m0 = {"dmd_loss": jnp.zeros(()),
+                  "regression_loss": jnp.zeros(())}
+            rngs = jax.random.split(rng, accum)
+            (grads, metrics), _ = jax.lax.scan(
+                micro, (zeros, m0), (batch_stack, rngs))
+            grads = jax.tree.map(lambda g: g / accum, grads)
+            metrics = jax.tree.map(lambda m: m / accum, metrics)
+            new_params, new_opt, gnorm = clip_and_update(
+                self.student_tx, grads, state.student_opt,
+                state.student_params)
+            beta = self.EMA_BETA
+            ema = jax.tree.map(lambda e, p: e * beta + p * (1.0 - beta),
+                               state.student_ema, new_params)
+            metrics["g_norm"] = gnorm
+            return state.replace(student_params=new_params,
+                                 student_opt=new_opt, student_ema=ema,
+                                 step=state.step + 1), metrics
+
+        return (jax.jit(critic_step, donate_argnums=(0,)),
+                jax.jit(student_step, donate_argnums=(0,)))
+
+    # --------------------------------------------------------------- loop
+    def train(self, max_steps=None):
+        accum = self.accum_steps()
+        state = self.init_distill_state(self.example_args())
+        update_ratio = self.train_cfg.get("update_ratio", 5)
+
+        loader = iter(get_loader(self.train_cfg.data_id,
+                                 self.train_cfg.batch_size,
+                                 **dict((self.train_cfg.data_kwargs
+                                         or {}).items())))
+        critic_step, student_step = self.make_steps(accum)
+
+        def batch_stack():
+            micro = [next(loader) for _ in range(accum)]
+            cols = len(micro[0])
+            return [jnp.asarray(np.stack([m[i] for m in micro]))
+                    for i in range(cols)]
+
+        rng = jax.random.key(11 + jax.process_index())
+        total = max_steps if max_steps is not None else \
+            self.train_cfg.get("max_steps") or int(1e12)
+        self.timer.reset()
+
+        while self.total_step_counter < total:
+            for _ in range(update_ratio):
+                rng, r = jax.random.split(rng)
+                state, m = critic_step(state, batch_stack(), r)
+                self.metrics.log_dict({k: float(v) for k, v in m.items()})
+            rng, r = jax.random.split(rng)
+            state, m = student_step(state, batch_stack(), r)
+            self.metrics.log_dict({k: float(v) for k, v in m.items()})
+
+            self.total_step_counter += 1
+            log = self.metrics.pop()
+            log["time"] = self.timer.hit()
+            self.timer.reset()
+            self.logger.log(log, step=self.total_step_counter)
+
+            if self.total_step_counter % self.train_cfg.save_interval == 0:
+                self.save(state)
+        return state
