@@ -1,0 +1,170 @@
+"""VAE bridge: encoders/decoders between pixels/waveforms and latents.
+
+Reference: owl_wms/utils/owl_vae_bridge.py:20-120. The reference pulls its
+VAEs from the external (un-vendored) ``owl-vaes`` repo; here the audio VAE
+is in-repo (nn/audio_vae.py) and the video decoder is a lightweight
+pixel-shuffle decoder standing in for the external DCAE weights. All
+decode/encode helpers are micro-batched exactly like the reference:
+
+* ``make_batched_decode_fn`` — video: [b,n,c,h,w] flattened to [b*n,...]
+  and decoded in vae_batch_size chunks (owl_vae_bridge.py:34-50);
+* ``make_batched_audio_decode_fn`` — audio: sliding ``max_seq_len=120``
+  latent windows for long sequences (owl_vae_bridge.py:53-93);
+* ``make_batched_audio_encode_fn`` — inverse (owl_vae_bridge.py:104-120).
+
+Checkpoint loading accepts orbax checkpoints of these modules, or torch
+state_dicts saved from this package's torch export (see
+utils/torch_import.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..nn.audio_vae import AudioVAE, AudioEncoder, AudioDecoder
+
+SAMPLES_PER_LATENT = 735  # 44.1 kHz / 60 latents-per-sec (BASELINE.md)
+
+
+def _init_or_load(module, example, ckpt_path: Optional[str]):
+    params = module.init(jax.random.key(0), example)
+    if ckpt_path:
+        from .checkpoints import versatile_load
+        loaded = versatile_load(ckpt_path, template=params["params"])
+        params = {"params": loaded}
+    return params
+
+
+def get_audio_encoder_decoder(cfg_path: Optional[str] = None,
+                              ckpt_path: Optional[str] = None,
+                              latent_channels: int = 64):
+    """Returns (encode_fn, decode_fn) over jnp arrays.
+
+    encode: [b, T, 2] -> [b, T/735, c]; decode inverse.
+    Reference: owl_vae_bridge.py get_audio_encoder_decoder.
+    """
+    enc = AudioEncoder(latent_channels=latent_channels)
+    dec = AudioDecoder()
+    enc_params = _init_or_load(enc, jnp.zeros((1, SAMPLES_PER_LATENT * 4, 2),
+                                              jnp.bfloat16),
+                               ckpt_path and ckpt_path + "_enc")
+    dec_params = _init_or_load(dec, jnp.zeros((1, 4, latent_channels),
+                                              jnp.bfloat16),
+                               ckpt_path and ckpt_path + "_dec")
+
+    encode = jax.jit(lambda x: enc.apply(enc_params, x))
+    decode = jax.jit(lambda z: dec.apply(dec_params, z))
+    return encode, decode
+
+
+class PixelShuffleVideoDecoder:
+    """Latent [c, h, w] -> RGB [H, W] decoder (conv + depth-to-space).
+
+    Stands in for the external DCAE video decoder
+    (reference: owl_vae_bridge.py:21-25 loads diffusers AutoencoderDC)."""
+
+    def __init__(self, latent_channels: int = 128, upscale: int = 8,
+                 ckpt_path: Optional[str] = None):
+        import flax.linen as nn
+
+        class _Dec(nn.Module):
+            up: int
+
+            @nn.compact
+            def __call__(self, z):  # [b, h, w, c]
+                h = nn.Conv(256, (3, 3), padding="SAME",
+                            dtype=jnp.bfloat16)(z.astype(jnp.bfloat16))
+                h = nn.silu(h)
+                h = nn.Conv(3 * self.up * self.up, (3, 3), padding="SAME",
+                            dtype=jnp.bfloat16)(h)
+                b, hh, ww, c = h.shape
+                h = h.reshape(b, hh, ww, self.up, self.up, 3)
+                h = h.transpose(0, 1, 3, 2, 4, 5)
+                h = h.reshape(b, hh * self.up, ww * self.up, 3)
+                return jnp.tanh(h.astype(jnp.float32))
+
+        self.module = _Dec(up=upscale)
+        self.params = _init_or_load(
+            self.module, jnp.zeros((1, 4, 4, latent_channels), jnp.bfloat16),
+            ckpt_path)
+        self._fn = jax.jit(lambda z: self.module.apply(self.params, z))
+
+    def __call__(self, z_bchw):
+        # [b, c, h, w] -> [b, H, W, 3]
+        z = jnp.transpose(z_bchw, (0, 2, 3, 1))
+        return self._fn(z)
+
+
+def get_decoder_only(vae_id: Optional[str], cfg_path: Optional[str] = None,
+                     ckpt_path: Optional[str] = None,
+                     latent_channels: int = 128):
+    """Video frame decoder (reference: owl_vae_bridge.py:20-31)."""
+    if vae_id == "dcae":
+        try:
+            from diffusers import AutoencoderDC  # noqa: F401
+        except ImportError as e:
+            raise ImportError(
+                "vae_id 'dcae' needs diffusers (not in this image); use the "
+                "in-repo pixel-shuffle decoder (vae_id null)") from e
+    return PixelShuffleVideoDecoder(latent_channels=latent_channels,
+                                    ckpt_path=ckpt_path)
+
+
+def make_batched_decode_fn(decoder, batch_size: int = 4) -> Callable:
+    """[b, n, c, h, w] latents -> [b, n, H, W, 3] frames, decoded in
+    micro-batches (reference: owl_vae_bridge.py:34-50)."""
+
+    def decode(latents):
+        b, n = latents.shape[0], latents.shape[1]
+        flat = latents.reshape((b * n,) + latents.shape[2:])
+        outs = []
+        for i in range(0, flat.shape[0], batch_size):
+            outs.append(decoder(flat[i:i + batch_size]))
+        out = jnp.concatenate(outs, axis=0)
+        return out.reshape((b, n) + out.shape[1:])
+
+    return decode
+
+
+def make_batched_audio_decode_fn(decode, batch_size: int = 4,
+                                 max_seq_len: int = 120) -> Callable:
+    """[b, n, c] latents -> [b, n*735, 2] waveforms with sliding windows
+    over long sequences (reference: owl_vae_bridge.py:53-93)."""
+
+    def fn(latents):
+        b, n = latents.shape[0], latents.shape[1]
+        chunks = []
+        for s in range(0, n, max_seq_len):
+            seg = latents[:, s:s + max_seq_len]
+            outs = []
+            for i in range(0, b, batch_size):
+                outs.append(decode(seg[i:i + batch_size]))
+            chunks.append(jnp.concatenate(outs, axis=0))
+        return jnp.concatenate(chunks, axis=1)
+
+    return fn
+
+
+def make_batched_audio_encode_fn(encode, batch_size: int = 4,
+                                 max_samples: int = 120 * SAMPLES_PER_LATENT
+                                 ) -> Callable:
+    """[b, T, 2] waveforms -> [b, T/735, c] latents
+    (reference: owl_vae_bridge.py:104-120)."""
+
+    def fn(wf):
+        b, T = wf.shape[0], wf.shape[1]
+        chunks = []
+        for s in range(0, T, max_samples):
+            seg = wf[:, s:s + max_samples]
+            outs = []
+            for i in range(0, b, batch_size):
+                outs.append(encode(seg[i:i + batch_size]))
+            chunks.append(jnp.concatenate(outs, axis=0))
+        return jnp.concatenate(chunks, axis=1)
+
+    return fn
