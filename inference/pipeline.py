@@ -1,0 +1,188 @@
+"""Real-time streaming pipeline: rolling-buffer one-frame generation.
+
+Reference: inference/causvid_pipeline.py:28-189. Per tick: re-noise the
+history window to alpha=0.2, append a pure-noise frame, shift the control
+ring buffers, run ``sampling_steps`` Euler updates (dt = 1/steps) of the
+full window updating only the final frame, shift history, decode one
+frame.
+
+TPU redesign: the entire tick (re-noise -> shift -> n-step denoise ->
+shift) is ONE jitted function of the buffer pytree — per-tick host work
+is a single dispatch; one compiled program per sampling_steps setting
+(runtime-adjustable 1..20, reference causvid_pipeline.py:80-83,106-110).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+from functools import partial
+from typing import Optional
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+from flax import struct  # noqa: E402
+
+
+def _copy_buffers(b):
+    import jax.numpy as _jnp
+    return jax.tree.map(_jnp.copy, b)
+
+
+@struct.dataclass
+class StreamBuffers:
+    history: jnp.ndarray   # [1, W, c, h, w]
+    audio: jnp.ndarray     # [1, W, c_a]
+    mouse: jnp.ndarray     # [1, W, 2]
+    button: jnp.ndarray    # [1, W, n_buttons]
+    rng: jax.Array
+
+
+class CausvidPipeline:
+    """Streaming AV generation with a distilled (1-2 step) core."""
+
+    AUDIO_SAMPLES_PER_FRAME = 735  # reference: causvid_pipeline.py:67
+
+    def __init__(self, core, params, config,
+                 frame_decode_fn=None, audio_decode_fn=None,
+                 image_scale: float = 1.0, audio_scale: float = 1.0,
+                 window_length: int = 60, alpha: float = 0.2,
+                 sampling_steps: int = 1, seed: int = 0):
+        self.core = core
+        self.params = params
+        self.config = config
+        self.frame_decode_fn = frame_decode_fn
+        self.audio_decode_fn = audio_decode_fn
+        self.image_scale = image_scale
+        self.audio_scale = audio_scale
+        self.W = window_length
+        self.alpha = alpha
+        self.sampling_steps = sampling_steps
+        self.min_samps, self.max_samps = 1, 20
+
+        c = config
+        self.buffers = StreamBuffers(
+            history=jnp.zeros((1, self.W, c.channels, c.sample_size,
+                               c.sample_size), jnp.bfloat16),
+            audio=jnp.zeros((1, self.W, c.audio_channels), jnp.bfloat16),
+            mouse=jnp.zeros((1, self.W, c.get("n_mouse_axes", 2)),
+                            jnp.bfloat16),
+            button=jnp.zeros((1, self.W, c.n_buttons), jnp.bfloat16),
+            rng=jax.random.key(seed),
+        )
+        self._initial = _copy_buffers(self.buffers)
+        self._ticks = {}
+
+    # --------------------------------------------------------- buffers
+    def load_cache(self, cache_dir: str = "data_cache",
+                   cache_idx: Optional[int] = None):
+        """Warm-start buffers from build_cache.py output
+        (reference: causvid_pipeline.py:85-97)."""
+        import random
+        idx = cache_idx if cache_idx is not None else random.randint(0, 99)
+        data = np.load(os.path.join(cache_dir, f"buffers_{idx}.npz"))
+        self.buffers = StreamBuffers(
+            history=jnp.asarray(data["history"] / self.image_scale,
+                                jnp.bfloat16),
+            audio=jnp.asarray(data["audio"] / self.audio_scale,
+                              jnp.bfloat16),
+            mouse=jnp.asarray(data["mouse"], jnp.bfloat16),
+            button=jnp.asarray(data["button"], jnp.bfloat16),
+            rng=self.buffers.rng,
+        )
+        self._initial = _copy_buffers(self.buffers)
+
+    def restart_from_buffer(self):
+        # ticks donate their input buffers; hand out a fresh copy
+        self.buffers = _copy_buffers(self._initial)
+
+    def up_sampling_steps(self):
+        self.sampling_steps = min(self.sampling_steps + 1, self.max_samps)
+
+    def down_sampling_steps(self):
+        self.sampling_steps = max(self.sampling_steps - 1, self.min_samps)
+
+    # ------------------------------------------------------------- tick
+    def _make_tick(self, n_steps: int):
+        core, params, alpha, W = self.core, self.params, self.alpha, self.W
+
+        def tick(buffers: StreamBuffers, new_mouse, new_btn):
+            rng, r_h, r_a, r_nh, r_na = jax.random.split(buffers.rng, 5)
+
+            def zl(r, x):
+                z = jax.random.normal(r, x.shape, x.dtype)
+                return x * (1.0 - alpha) + z * alpha
+
+            hist = zl(r_h, buffers.history[:, 1:])
+            aud = zl(r_a, buffers.audio[:, 1:])
+            x = jnp.concatenate(
+                [hist, jax.random.normal(r_nh, hist[:, :1].shape,
+                                         hist.dtype)], axis=1)
+            a = jnp.concatenate(
+                [aud, jax.random.normal(r_na, aud[:, :1].shape,
+                                        aud.dtype)], axis=1)
+
+            mouse = jnp.concatenate(
+                [buffers.mouse[:, 1:], new_mouse[None, None, :]], axis=1)
+            button = jnp.concatenate(
+                [buffers.button[:, 1:], new_btn[None, None, :]], axis=1)
+
+            ts = jnp.full((1, W), alpha, jnp.bfloat16).at[:, -1].set(1.0)
+            dt = 1.0 / n_steps
+
+            def step(state, _):
+                x, a, ts = state
+                (pv, pa), _ = core.apply(params, x, a, ts, mouse, button)
+                x = x.at[:, -1].set(
+                    (x[:, -1].astype(jnp.float32)
+                     - dt * pv[:, -1].astype(jnp.float32)).astype(x.dtype))
+                a = a.at[:, -1].set(
+                    (a[:, -1].astype(jnp.float32)
+                     - dt * pa[:, -1].astype(jnp.float32)).astype(a.dtype))
+                ts = ts.at[:, -1].add(-dt)
+                return (x, a, ts), None
+
+            (x, a, ts), _ = jax.lax.scan(step, (x, a, ts), None,
+                                         length=n_steps)
+
+            new_frame = x[:, -1:]
+            new_audio = a[:, -1:]
+            out = StreamBuffers(
+                history=jnp.concatenate([buffers.history[:, 1:], new_frame],
+                                        axis=1),
+                audio=jnp.concatenate([buffers.audio[:, 1:], new_audio],
+                                      axis=1),
+                mouse=mouse, button=button, rng=rng)
+            return out, new_frame[0], new_audio[0]
+
+        return jax.jit(tick, donate_argnums=(0,))
+
+    def __call__(self, new_mouse, new_btn):
+        """new_mouse: [2] floats; new_btn: [n_buttons] bools.
+
+        Returns (frame, audio_latent, model_time_s); frame is decoded RGB
+        [H, W, 3] float in [-1, 1] when a decoder is set, else the frame
+        latent [1, c, h, w].
+        """
+        n = self.sampling_steps
+        if n not in self._ticks:
+            self._ticks[n] = self._make_tick(n)
+        t0 = time.perf_counter()
+        self.buffers, frame_lat, audio_lat = self._ticks[n](
+            self.buffers,
+            jnp.asarray(new_mouse, jnp.bfloat16),
+            jnp.asarray(np.asarray(new_btn, dtype=np.float32),
+                        jnp.bfloat16))
+        if self.frame_decode_fn is not None:
+            frame = self.frame_decode_fn(frame_lat * self.image_scale)[0]
+        else:
+            frame = frame_lat
+        jax.block_until_ready(frame)
+        model_time = time.perf_counter() - t0
+        return frame, audio_lat, model_time

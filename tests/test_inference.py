@@ -1,0 +1,68 @@
+"""Streaming pipeline + CLI smoke tests (CPU, tiny models)."""
+
+import subprocess
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from owl_audio_exps_tpu.configs import transformer_config
+from owl_audio_exps_tpu.models.gamerft_audio import GameRFTAudioCore
+
+
+def test_causvid_pipeline_tick():
+    sys.path.insert(0, "inference")
+    from pipeline import CausvidPipeline
+
+    cfg = transformer_config(
+        model_id="game_rft_audio", n_layers=2, n_heads=2, d_model=32,
+        channels=4, audio_channels=4, sample_size=2, tokens_per_frame=5,
+        n_frames=8, n_buttons=11, causal=True, uncond=False, has_audio=True,
+        rope_impl="ortho", local_window=2, global_window=None, cfg_prob=0.0)
+    core = GameRFTAudioCore(cfg, dtype=jnp.float32)
+    W = 4
+    x = jnp.zeros((1, W, 4, 2, 2), jnp.float32)
+    a = jnp.zeros((1, W, 4), jnp.float32)
+    t = jnp.zeros((1, W), jnp.float32)
+    m = jnp.zeros((1, W, 2), jnp.float32)
+    b = jnp.zeros((1, W, 11), jnp.float32)
+    params = core.init(jax.random.key(0), x, a, t, m, b)
+
+    pipe = CausvidPipeline(core, params, cfg, window_length=W,
+                           sampling_steps=2)
+    # buffers default-initialized to bf16 — run 3 ticks
+    for i in range(3):
+        frame, audio, model_time = pipe(np.asarray([0.5, -0.2]),
+                                        np.zeros(11))
+        assert frame.shape == (1, 4, 2, 2)
+        assert audio.shape == (1, 4)
+        assert np.isfinite(np.asarray(frame, dtype=np.float32)).all()
+
+    # runtime step adjustment compiles a second program
+    pipe.up_sampling_steps()
+    assert pipe.sampling_steps == 3
+    frame, _, _ = pipe(np.zeros(2), np.zeros(11))
+    assert frame.shape == (1, 4, 2, 2)
+
+    # restart restores the warm-start state
+    pipe.restart_from_buffer()
+    assert float(jnp.sum(jnp.abs(pipe.buffers.history.astype(
+        jnp.float32)))) == 0.0
+
+
+def test_train_cli_smoke(tmp_path):
+    """python train.py --config_path configs/smoke_audio.yml runs."""
+    res = subprocess.run(
+        [sys.executable, "train.py", "--config_path",
+         "configs/smoke_audio.yml", "--max_steps", "2"],
+        capture_output=True, text=True, timeout=420,
+        env={"PATH": "/usr/bin:/bin:/usr/local/bin",
+             "JAX_PLATFORMS": "cpu",
+             "HOME": "/root",
+             "JAX_COMPILATION_CACHE_DIR": "/tmp/jax_cache",
+             "XLA_FLAGS": "--xla_force_host_platform_device_count=8"},
+        cwd=".",
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "diffusion_loss" in res.stdout
