@@ -57,6 +57,44 @@ class WindowedViewDataset:
             for col, arr in zip(self.array_columns, arrays)
         }
 
+    # ---- native batch fast path -------------------------------------
+    def _file_meta(self, row: int, col: str):
+        """(path, header_offset, dtype, trailing_shape, row_bytes) for a
+        table cell, memoized."""
+        if not hasattr(self, "_meta_cache"):
+            self._meta_cache = {}
+        key = (row, col)
+        if key not in self._meta_cache:
+            from .native_loader import npy_data_offset
+            path = str(self.table.directory / self.table.manifest[row][col])
+            off, dtype, shape = npy_data_offset(path)
+            trailing = shape[1:]
+            row_bytes = int(np.prod(trailing, dtype=np.int64)
+                            * dtype.itemsize) if trailing else dtype.itemsize
+            self._meta_cache[key] = (path, off, dtype, trailing, row_bytes)
+        return self._meta_cache[key]
+
+    def batch(self, indices, columns=None):
+        """Assemble a whole batch per column through the native gather
+        (native/owl_loader.cpp) — parallel positioned reads, no python in
+        the per-item loop."""
+        from .native_loader import gather_windows
+        columns = columns or self.array_columns
+        out = {}
+        for col in columns:
+            paths, starts, offsets = [], [], []
+            dtype = trailing = row_bytes = None
+            for idx in indices:
+                row, start = self._index[int(idx)]
+                path, off, dt, tr, rb = self._file_meta(row, col)
+                paths.append(path)
+                starts.append(start)
+                offsets.append(off)
+                dtype, trailing, row_bytes = dt, tr, rb
+            out[col] = gather_windows(paths, starts, self.window_length,
+                                      row_bytes, offsets, dtype, trailing)
+        return out
+
 
 class EpochShuffleLoader:
     """Infinite batch iterator: per-epoch reshuffle (epoch-seeded, matching
@@ -81,17 +119,29 @@ class EpochShuffleLoader:
         return perm[self.process_index::self.process_count]
 
     def __iter__(self):
+        use_native = (not self.extra_columns) and hasattr(self.ds, "batch")
         while True:
             if hasattr(self.ds, "set_epoch"):
                 self.ds.set_epoch(self.epoch)
             idxs = self._epoch_indices()
             n_batches = len(idxs) // self.batch_size
             for bi in range(n_batches):
-                rows = [self.ds[int(i)] for i in
-                        idxs[bi * self.batch_size:(bi + 1) * self.batch_size]]
-                cols = self.batch_columns + self.extra_columns
-                yield [_stack_cast([r[c] for r in rows]) for c in cols]
+                batch_idx = idxs[bi * self.batch_size:
+                                 (bi + 1) * self.batch_size]
+                if use_native:
+                    cols = self.ds.batch(batch_idx, self.batch_columns)
+                    yield [_float_cast(cols[c]) for c in self.batch_columns]
+                else:
+                    rows = [self.ds[int(i)] for i in batch_idx]
+                    cols = self.batch_columns + self.extra_columns
+                    yield [_stack_cast([r[c] for r in rows]) for c in cols]
             self.epoch += 1
+
+
+def _float_cast(arr: np.ndarray) -> np.ndarray:
+    if np.issubdtype(arr.dtype, np.floating):
+        return arr.astype(np.float32, copy=False)
+    return arr
 
 
 def _stack_cast(cells) -> np.ndarray:

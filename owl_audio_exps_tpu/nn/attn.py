@@ -60,12 +60,23 @@ def use_splash_path(config, q_len: int, kv_cache, decoding: bool) -> bool:
     return splash_available() and q_len >= 1024
 
 
+def can_local_gather(config, q_len: int, kv_cache) -> bool:
+    """Decode fast-path eligibility: local layers gather the trailing
+    window from the ring instead of masking over the full capacity."""
+    local_w = config.get("local_window")
+    if kv_cache is None or local_w is None:
+        return False
+    span = local_w * config.tokens_per_frame
+    return span > q_len and span < kv_cache.capacity
+
+
 def build_masks(
     config,
     q_len: int,
     doc_id: Optional[jnp.ndarray],
     kv_cache: Optional[KVCache],
     decoding: bool,
+    allow_local_gather: bool = True,
 ):
     """Build the (local, global) masks for one forward pass.
 
@@ -92,7 +103,9 @@ def build_masks(
             [(rel < length), jnp.ones((q_len,), dtype=bool)])
         glob = jnp.broadcast_to(valid[None, :],
                                 (q_len, rel.shape[0] + q_len))
-        if local_w is not None:
+        if allow_local_gather and can_local_gather(config, q_len, kv_cache):
+            local = None  # signals the O(window) gather path in Attn
+        elif local_w is not None:
             kv_order = jnp.concatenate([rel, q_abs])
             cutoff = length + q_len - local_w * tpf
             local = glob & (kv_order >= cutoff)[None, :]
@@ -145,6 +158,7 @@ class Attn(nn.Module):
         k = rope(k, positions)
 
         new_cache = kv_cache
+        local_gather = False
         if kv_cache is not None:
             if write:
                 new_cache = kv_cache.update_layer(
@@ -152,11 +166,39 @@ class Attn(nn.Module):
                     jnp.transpose(k, (0, 2, 1, 3)),  # [B, L, H, Dh]
                     jnp.transpose(v, (0, 2, 1, 3)),
                 )
-            ck, cv = kv_cache.read_layer(self.layer_idx)
-            k = jnp.concatenate(
-                [jnp.transpose(ck, (0, 2, 1, 3)).astype(k.dtype), k], axis=2)
-            v = jnp.concatenate(
-                [jnp.transpose(cv, (0, 2, 1, 3)).astype(v.dtype), v], axis=2)
+            local_w = cfg.get("local_window")
+            local_gather = (mask is None and self.local
+                            and can_local_gather(cfg, L, kv_cache))
+            if local_gather:
+                # decode fast path: a local layer sees only the trailing
+                # local_window frames of [cache | current] — gather that
+                # window from the ring instead of attending over the full
+                # capacity (the reference's K/V slice, owl_wms/nn/attn.py:
+                # 102-104, turned into an O(window) gather)
+                n_gather = local_w * cfg.tokens_per_frame - L
+                rel0 = kv_cache.length - n_gather
+                rel = rel0 + jnp.arange(n_gather, dtype=jnp.int32)
+                slots = jnp.mod(kv_cache.start + rel, kv_cache.capacity)
+                gather_valid = (rel >= 0) & (rel < kv_cache.length)
+                ck, cv = kv_cache.read_layer(self.layer_idx)
+                gk = jnp.take(ck, slots, axis=1)   # [B, n_gather, H, Dh]
+                gv = jnp.take(cv, slots, axis=1)
+                k = jnp.concatenate(
+                    [jnp.transpose(gk, (0, 2, 1, 3)).astype(k.dtype), k],
+                    axis=2)
+                v = jnp.concatenate(
+                    [jnp.transpose(gv, (0, 2, 1, 3)).astype(v.dtype), v],
+                    axis=2)
+                mask = jnp.concatenate(
+                    [gather_valid, jnp.ones((L,), dtype=bool)])[None, :]
+            else:
+                ck, cv = kv_cache.read_layer(self.layer_idx)
+                k = jnp.concatenate(
+                    [jnp.transpose(ck, (0, 2, 1, 3)).astype(k.dtype), k],
+                    axis=2)
+                v = jnp.concatenate(
+                    [jnp.transpose(cv, (0, 2, 1, 3)).astype(v.dtype), v],
+                    axis=2)
 
         if splash and kv_cache is None:
             from ..ops.splash import splash_attention

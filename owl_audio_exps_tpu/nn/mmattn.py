@@ -157,8 +157,10 @@ class MMDiT(nn.Module):
         if splash:
             local_mask = global_mask = None
         else:
+            # MMAttn has no gather fast path yet — always take dense masks
             local_mask, global_mask = build_masks(cfg, L, None, kv_cache,
-                                                  decoding)
+                                                  decoding,
+                                                  allow_local_gather=False)
 
         y = nn.silu(cond.astype(self.dtype))
         y = Linear(d * 12, dtype=self.dtype, name="cond_proj")(y)
