@@ -93,6 +93,14 @@ class RFTFamilyTrainer(BaseTrainer):
         step_fn = self.make_train_step(
             self._wrapped_loss, accum, clip_norm=self.grad_clip_norm())
 
+        # throughput / MFU profiler (reference: owl_wms/utils/mfu.py)
+        from ..utils.mfu import MFUProfiler
+        seq_tokens = self._seq_tokens()
+        profiler = MFUProfiler(
+            self.model_cfg,
+            batch_tokens=accum * self.train_cfg.batch_size * seq_tokens,
+            seq_len=seq_tokens, training=True)
+
         rng = jax.random.key(1234 + jax.process_index())
         data_iter = iter(loader)
         self.timer.reset()
@@ -105,9 +113,13 @@ class RFTFamilyTrainer(BaseTrainer):
             batch_stack = jax.device_put(
                 jax.tree.map(jnp.asarray, _stack_accum(micro)))
             rng, step_rng = jax.random.split(rng)
+            profiler.start()
             state, metrics = step_fn(state, batch_stack, step_rng)
-            self.metrics.log_dict(
-                {k: float(v) for k, v in metrics.items()})
+            metrics = {k: float(v) for k, v in metrics.items()}
+            profiler.stop()
+            self.metrics.log_dict(metrics)
+            if (self.total_step_counter + 1) % 50 == 0:
+                self.metrics.log_dict(profiler.report())
 
             self.total_step_counter += 1
             log = self.metrics.pop()
@@ -125,6 +137,15 @@ class RFTFamilyTrainer(BaseTrainer):
 
     def _wrapped_loss(self, params, batch, rng):
         return self.loss_fn(params, batch, rng)
+
+    def _seq_tokens(self) -> int:
+        """Tokens per sample for FLOP accounting."""
+        n = (self.train_cfg.data_kwargs or {}).get(
+            "window_length", self.model_cfg.n_frames)
+        if self.model_cfg.model_id == "audio_rft":
+            n = self.model_cfg.sample_size
+        return n * self.model_cfg.tokens_per_frame \
+            if self.model_cfg.model_id != "audio_rft" else n
 
 
 class RFTTrainer(RFTFamilyTrainer):
