@@ -1,0 +1,208 @@
+"""Pallas flash-decode kernel: cached attention over the ring-buffer KV
+cache.
+
+The serve path's global-window layers attend a small query block (one
+frame, <= 65 tokens) against the whole ring cache (up to ~100k tokens for
+dit_v4). XLA's dense path materializes [Lq, S] logits per head through
+HBM; this kernel streams K/V blocks HBM -> VMEM with an online-softmax
+accumulator so logits never leave VMEM, applies ring-validity masking from
+the (start, length) counters in-kernel, and skips blocks that contain no
+valid slot (cache warm-up, post-eviction holes).
+
+Semantics: softmax over {valid ring slots} ∪ {current-frame tokens}.
+Validity of physical slot s is rel = (s - start) mod S < length — softmax
+is permutation-invariant so insertion order is irrelevant; this is
+exactly the decode-mode visibility of nn/attn.py (global layers).
+
+Layout notes: q/k/v current are [Lq, Dh] per (batch, head) grid step;
+cache stays [S, H, Dh] in ANY/HBM memory and blocks are DMA'd per head
+(strided) into VMEM scratch with double buffering.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _decode_kernel(scalar_ref,            # SMEM [4]: start, length, S, lq
+                   q_ref,                 # VMEM [Lq_pad, Dh]
+                   kcur_ref, vcur_ref,    # VMEM [Lq_pad, Dh]
+                   kc_ref, vc_ref,        # ANY  [S, H, Dh] (per batch)
+                   o_ref,                 # VMEM [Lq_pad, Dh]
+                   kbuf, vbuf,            # VMEM [2, BK, Dh] scratch
+                   sems,                  # DMA sems [2, 2]
+                   *, block_k: int, n_blocks: int):
+    start = scalar_ref[0]
+    length = scalar_ref[1]
+    S = scalar_ref[2]
+    lq = scalar_ref[3]
+    h = pl.program_id(1)
+
+    Lq_pad, Dh = q_ref.shape
+    q = q_ref[:]  # [Lq_pad, Dh] bf16 (pre-scaled)
+
+    def block_valid_count(j):
+        """Does physical block [j*BK, (j+1)*BK) contain any valid slot?"""
+        p0 = j * block_k
+        p1 = p0 + block_k
+        end1 = start + length
+        # valid physical intervals: [start, min(end1, S)) and
+        # [0, max(end1 - S, 0))
+        ov1 = (p0 < jnp.minimum(end1, S)) & (p1 > start)
+        ov2 = p0 < jnp.maximum(end1 - S, 0)
+        return ov1 | ov2
+
+    def start_dma(j, slot):
+        p0 = j * block_k
+        kd = pltpu.make_async_copy(
+            kc_ref.at[pl.ds(p0, block_k), h, :], kbuf.at[slot],
+            sems.at[slot, 0])
+        vd = pltpu.make_async_copy(
+            vc_ref.at[pl.ds(p0, block_k), h, :], vbuf.at[slot],
+            sems.at[slot, 1])
+        kd.start()
+        vd.start()
+
+    def wait_dma(j, slot):
+        p0 = j * block_k
+        pltpu.make_async_copy(
+            kc_ref.at[pl.ds(p0, block_k), h, :], kbuf.at[slot],
+            sems.at[slot, 0]).wait()
+        pltpu.make_async_copy(
+            vc_ref.at[pl.ds(p0, block_k), h, :], vbuf.at[slot],
+            sems.at[slot, 1]).wait()
+
+    # warm-up: fetch block 0 if it has valid slots
+    @pl.when(block_valid_count(0))
+    def _():
+        start_dma(0, 0)
+
+    def body(j, carry):
+        m, l, acc = carry
+        slot = jax.lax.rem(j, 2)
+        has_valid = block_valid_count(j)
+
+        # prefetch next valid block into the other buffer
+        @pl.when((j + 1 < n_blocks) & block_valid_count(j + 1))
+        def _():
+            start_dma(j + 1, 1 - slot)
+
+        def compute(carry):
+            m, l, acc = carry
+            wait_dma(j, slot)
+            k = kbuf[slot]  # [BK, Dh]
+            v = vbuf[slot]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)  # [Lq_pad, BK]
+
+            p0 = j * block_k
+            slot_ids = p0 + jax.lax.broadcasted_iota(
+                jnp.int32, (Lq_pad, block_k), 1)
+            rel = jax.lax.rem(slot_ids - start + S, S)
+            s = jnp.where(rel < length, s, NEG_INF)
+
+            m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+            alpha = jnp.exp(m - m_new)
+            p = jnp.exp(s - m_new)
+            l_new = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+            acc_new = acc * alpha + jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return m_new, l_new, acc_new
+
+        return jax.lax.cond(has_valid, compute, lambda c: c, (m, l, acc))
+
+    m0 = jnp.full((Lq_pad, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((Lq_pad, 1), jnp.float32)
+    acc0 = jnp.zeros((Lq_pad, Dh), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, n_blocks, body, (m0, l0, acc0))
+
+    # fold in the current-frame tokens (always visible, mask padding)
+    kcur = kcur_ref[:]
+    vcur = vcur_ref[:]
+    s = jax.lax.dot_general(q, kcur, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    col = jax.lax.broadcasted_iota(jnp.int32, (Lq_pad, Lq_pad), 1)
+    s = jnp.where(col < lq, s, NEG_INF)
+    m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+    alpha = jnp.exp(m - m_new)
+    p = jnp.exp(s - m_new)
+    l = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+    acc = acc * alpha + jax.lax.dot_general(
+        p.astype(vcur.dtype), vcur, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    o_ref[:] = (acc / l).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_k", "interpret"))
+def flash_decode(q, k_cache, v_cache, k_cur, v_cur, start, length,
+                 block_k: int = 512, interpret: bool = False):
+    """q, k_cur, v_cur: [B, H, Lq, Dh]; k_cache/v_cache: [B, S, H, Dh];
+    start/length: int32 ring counters. Returns [B, H, Lq, Dh].
+    """
+    B, H, Lq, Dh = q.shape
+    S = k_cache.shape[1]
+    block_k = min(block_k, S)
+    assert S % block_k == 0, "cache capacity must tile by block_k"
+    n_blocks = S // block_k
+
+    Lq_pad = max(8, -(-Lq // 8) * 8)
+    pad = Lq_pad - Lq
+    scale = Dh ** -0.5
+
+    def pad_q(x):
+        return jnp.pad(x, ((0, 0), (0, 0), (0, pad), (0, 0)))
+
+    qp = pad_q(q * scale)
+    kcp = pad_q(k_cur)
+    vcp = pad_q(v_cur)
+
+    scalars = jnp.stack([start.astype(jnp.int32), length.astype(jnp.int32),
+                         jnp.int32(S), jnp.int32(Lq)])
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, H),
+        in_specs=[
+            pl.BlockSpec((1, 1, Lq_pad, Dh), lambda b, h, _: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, Lq_pad, Dh), lambda b, h, _: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, Lq_pad, Dh), lambda b, h, _: (b, h, 0, 0)),
+            pl.BlockSpec((1, S, H, Dh), lambda b, h, _: (b, 0, 0, 0),
+                         memory_space=pltpu.ANY),
+            pl.BlockSpec((1, S, H, Dh), lambda b, h, _: (b, 0, 0, 0),
+                         memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, 1, Lq_pad, Dh),
+                               lambda b, h, _: (b, h, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, block_k, Dh), k_cache.dtype),
+            pltpu.VMEM((2, block_k, Dh), v_cache.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+
+    def kernel(scalar_ref, q_ref, kcur_ref, vcur_ref, kc_ref, vc_ref,
+               o_ref, kbuf, vbuf, sems):
+        _decode_kernel(
+            scalar_ref,
+            q_ref.at[0, 0], kcur_ref.at[0, 0], vcur_ref.at[0, 0],
+            kc_ref.at[0], vc_ref.at[0], o_ref.at[0, 0],
+            kbuf, vbuf, sems,
+            block_k=block_k, n_blocks=n_blocks)
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, H, Lq_pad, Dh), q.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(scalars, qp, kcp, vcp, k_cache, v_cache)
+    return out[:, :, :Lq]
