@@ -23,4 +23,7 @@ def get_trainer_cls(trainer_id: str):
     if trainer_id == "ode_distill_vid":
         from .ode_distill import DistillODETrainer
         return DistillODETrainer
+    if trainer_id == "audio_vae":
+        from .audio_vae_trainer import AudioVAETrainer
+        return AudioVAETrainer
     raise ValueError(f"Invalid trainer id: {trainer_id}")

@@ -251,6 +251,28 @@ class BaseTrainer:
             from jax.experimental import multihost_utils
             multihost_utils.sync_global_devices("trainer_barrier")
 
+    # ------------------------------------------------- failure handling
+    def install_preemption_handler(self):
+        """SIGTERM/SIGINT set a flag; the loop checkpoints and exits at
+        the next step boundary. (The reference's recovery model is
+        resubmit-and-resume, SURVEY.md §5.3 — this makes the resume
+        point as fresh as possible on TPU preemptions.)"""
+        import signal
+
+        self._preempted = False
+
+        def _handler(signum, frame):
+            self._preempted = True
+
+        try:
+            signal.signal(signal.SIGTERM, _handler)
+            signal.signal(signal.SIGINT, _handler)
+        except ValueError:
+            pass  # not on the main thread (e.g. under test runners)
+
+    def should_stop(self) -> bool:
+        return getattr(self, "_preempted", False)
+
     # ----------------------------------------------------------- helpers
     def accum_steps(self) -> int:
         """target_batch_size // batch_size // data-shards

@@ -104,11 +104,15 @@ class RFTFamilyTrainer(BaseTrainer):
         rng = jax.random.key(1234 + jax.process_index())
         data_iter = iter(loader)
         self.timer.reset()
+        self.install_preemption_handler()
 
         total = max_steps if max_steps is not None else \
             self.train_cfg.get("max_steps") or int(1e12)
 
         while self.total_step_counter < total:
+            if self.should_stop():
+                self.save(state)
+                break
             micro = [next(data_iter) for _ in range(accum)]
             batch_stack = jax.device_put(
                 jax.tree.map(jnp.asarray, _stack_accum(micro)))
