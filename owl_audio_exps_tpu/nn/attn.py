@@ -60,6 +60,30 @@ def use_splash_path(config, q_len: int, kv_cache, decoding: bool) -> bool:
     return splash_available() and q_len >= 1024
 
 
+def use_flash_decode(config, is_local: bool, q_len: int, kv_cache,
+                     decoding: bool) -> bool:
+    """Route decode-mode global-layer cached attention through the pallas
+    flash-decode kernel (ops/flash_decode.py) on TPU: validity-masked
+    attention over the ring without materializing [Lq, S] logits.
+    Override with config.decode_impl in {'auto', 'dense', 'flash'}."""
+    impl = config.get("decode_impl", "auto")
+    if impl == "dense" or not decoding or kv_cache is None:
+        return False
+    # only the pure-validity visibility of decode-mode global layers
+    if is_local and config.get("local_window") is not None:
+        return False
+    S = kv_cache.capacity
+    if S % 256 != 0:
+        return False
+    if impl == "flash":
+        return True
+    try:
+        import jax
+        return jax.devices()[0].platform == "tpu" and S >= 2048
+    except Exception:
+        return False
+
+
 def can_local_gather(config, q_len: int, kv_cache) -> bool:
     """Decode fast-path eligibility: local layers gather the trailing
     window from the ring instead of masking over the full capacity."""
@@ -132,7 +156,8 @@ class Attn(nn.Module):
     @nn.compact
     def __call__(self, x, mask, kv_cache: Optional[KVCache] = None,
                  write: bool = False, splash: bool = False,
-                 doc_id: Optional[jnp.ndarray] = None
+                 doc_id: Optional[jnp.ndarray] = None,
+                 decoding: bool = False
                  ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
         cfg = self.config
         B, L, _ = x.shape
@@ -166,6 +191,20 @@ class Attn(nn.Module):
                     jnp.transpose(k, (0, 2, 1, 3)),  # [B, L, H, Dh]
                     jnp.transpose(v, (0, 2, 1, 3)),
                 )
+            if use_flash_decode(cfg, self.local, L, kv_cache, decoding):
+                from ..ops.flash_decode import flash_decode
+                ck, cv = kv_cache.read_layer(self.layer_idx)
+                block_k = 512 if kv_cache.capacity % 512 == 0 else 256
+                out = flash_decode(
+                    q.astype(self.dtype), ck.astype(self.dtype),
+                    cv.astype(self.dtype), k.astype(self.dtype),
+                    v.astype(self.dtype), kv_cache.start, kv_cache.length,
+                    block_k=block_k)
+                out = jnp.transpose(out, (0, 2, 1, 3)).reshape(
+                    B, L, cfg.d_model)
+                out = Linear(cfg.d_model, dtype=self.dtype, name="out")(out)
+                return out, new_cache
+
             local_w = cfg.get("local_window")
             local_gather = (mask is None and self.local
                             and can_local_gather(cfg, L, kv_cache))
@@ -227,12 +266,12 @@ class DiTBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, cond, mask, kv_cache=None, write: bool = False,
-                 splash: bool = False, doc_id=None):
+                 splash: bool = False, doc_id=None, decoding: bool = False):
         d = self.config.d_model
         h, kv_cache = Attn(self.config, self.layer_idx, self.local,
                            dtype=self.dtype, name="attn")(
             AdaLN(d, dtype=self.dtype, name="adaln1")(x, cond),
-            mask, kv_cache, write, splash, doc_id)
+            mask, kv_cache, write, splash, doc_id, decoding)
         x = x + Gate(d, dtype=self.dtype, name="gate1")(h, cond)
 
         h = MLP(d, dtype=self.dtype, name="mlp")(
@@ -274,13 +313,13 @@ class DiT(nn.Module):
         use_remat = (not deterministic) and cfg.get("gradient_checkpointing", False)
         block_cls = DiTBlock
         if use_remat and kv_cache is None:
-            block_cls = nn.remat(DiTBlock, static_argnums=(5, 6))
+            block_cls = nn.remat(DiTBlock, static_argnums=(5, 6, 8))
 
         for idx, local in enumerate(flags):
             mask = local_mask if local else global_mask
             x, kv_cache = block_cls(
                 cfg, idx, local, dtype=self.dtype, name=f"blocks_{idx}")(
-                x, cond, mask, kv_cache, write, splash, doc_id)
+                x, cond, mask, kv_cache, write, splash, doc_id, decoding)
         if kv_cache is not None and write:
             # all layers wrote the same token count; commit counters once
             kv_cache = kv_cache.advance(x.shape[1])

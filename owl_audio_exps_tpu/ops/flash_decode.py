@@ -143,9 +143,15 @@ def _decode_kernel(scalar_ref,            # SMEM [4]: start, length, S, lq
     o_ref[:] = (acc / l).astype(o_ref.dtype)
 
 
+import os
+
+
 @functools.partial(jax.jit, static_argnames=("block_k", "interpret"))
 def flash_decode(q, k_cache, v_cache, k_cur, v_cur, start, length,
-                 block_k: int = 512, interpret: bool = False):
+                 block_k: int = 512, interpret: bool = None):
+    if interpret is None:
+        # env override: CPU testing of the kernel through the model path
+        interpret = os.environ.get("OWL_PALLAS_INTERPRET") == "1"
     """q, k_cur, v_cur: [B, H, Lq, Dh]; k_cache/v_cache: [B, S, H, Dh];
     start/length: int32 ring counters. Returns [B, H, Lq, Dh].
     """
