@@ -47,6 +47,11 @@ def get_loader(data_id, batch_size, window_length=16, channels=128,
                 ((window_length, audio_channels), "normal"),
                 ((window_length, n_mouse_axes), "normal"),
                 ((window_length, n_buttons), "binary")]
+    elif data_id == "synthetic_mixed":
+        spec = [((window_length, channels, sample_size, sample_size), "normal"),
+                ((window_length, n_mouse_axes), "normal"),
+                ((window_length, n_buttons), "binary"),
+                ((), "binary")]  # has_controls flag per sample
     elif data_id == "synthetic_audio_latent":
         spec = [((window_length, channels), "normal")]
     elif data_id == "synthetic_waveform":

@@ -108,6 +108,23 @@ class KVCache:
         the same thing).
         """
         t = new_k.shape[1]
+        if (self.capacity % self.tokens_per_frame == 0
+                and t % self.tokens_per_frame == 0):
+            # Frame-aligned fast path: start/length only ever move in whole
+            # frames, so the write position is frame-aligned and a write of
+            # t <= capacity tokens never wraps the ring — a contiguous
+            # dynamic_update_slice, which XLA aliases in place under scan
+            # (the general scatter below forces a full cache copy per
+            # layer per write).
+            pos = jnp.mod(self.start + self.length, self.capacity)
+            k = jax.lax.dynamic_update_slice(
+                self.k, new_k[None].astype(self.k.dtype),
+                (layer_idx, 0, pos, 0, 0))
+            v = jax.lax.dynamic_update_slice(
+                self.v, new_v[None].astype(self.v.dtype),
+                (layer_idx, 0, pos, 0, 0))
+            return self.replace(k=k, v=v)
+
         slots = jnp.mod(self.start + self.length + jnp.arange(t, dtype=jnp.int32),
                         self.capacity)
         # NB: mixed scalar/slice/array indexing hoists the advanced axes to
