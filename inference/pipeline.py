@@ -116,17 +116,19 @@ class CausvidPipeline:
             rng, r_h, r_a, r_nh, r_na = jax.random.split(buffers.rng, 5)
 
             def zl(r, x):
-                z = jax.random.normal(r, x.shape, x.dtype)
+                z = jax.random.normal(r, x.shape, jnp.float32).astype(x.dtype)
                 return x * (1.0 - alpha) + z * alpha
 
             hist = zl(r_h, buffers.history[:, 1:])
             aud = zl(r_a, buffers.audio[:, 1:])
             x = jnp.concatenate(
                 [hist, jax.random.normal(r_nh, hist[:, :1].shape,
-                                         hist.dtype)], axis=1)
+                                         jnp.float32).astype(hist.dtype)],
+                axis=1)
             a = jnp.concatenate(
                 [aud, jax.random.normal(r_na, aud[:, :1].shape,
-                                        aud.dtype)], axis=1)
+                                        jnp.float32).astype(aud.dtype)],
+                axis=1)
 
             mouse = jnp.concatenate(
                 [buffers.mouse[:, 1:], new_mouse[None, None, :]], axis=1)

@@ -182,10 +182,10 @@ def flash_decode(q, k_cache, v_cache, k_cur, v_cur, start, length,
             pl.BlockSpec((1, 1, Lq_pad, Dh), lambda b, h, _: (b, h, 0, 0)),
             pl.BlockSpec((1, 1, Lq_pad, Dh), lambda b, h, _: (b, h, 0, 0)),
             pl.BlockSpec((1, 1, Lq_pad, Dh), lambda b, h, _: (b, h, 0, 0)),
-            pl.BlockSpec((1, S, H, Dh), lambda b, h, _: (b, 0, 0, 0),
-                         memory_space=pltpu.ANY),
-            pl.BlockSpec((1, S, H, Dh), lambda b, h, _: (b, 0, 0, 0),
-                         memory_space=pltpu.ANY),
+            # ANY-space blocks must be whole-array with a trivial index
+            # map on TPU; the kernel indexes batch via program_id
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec((1, 1, Lq_pad, Dh),
                                lambda b, h, _: (b, h, 0, 0)),
@@ -198,10 +198,11 @@ def flash_decode(q, k_cache, v_cache, k_cur, v_cur, start, length,
 
     def kernel(scalar_ref, q_ref, kcur_ref, vcur_ref, kc_ref, vc_ref,
                o_ref, kbuf, vbuf, sems):
+        b = pl.program_id(0)
         _decode_kernel(
             scalar_ref,
             q_ref.at[0, 0], kcur_ref.at[0, 0], vcur_ref.at[0, 0],
-            kc_ref.at[0], vc_ref.at[0], o_ref.at[0, 0],
+            kc_ref.at[b], vc_ref.at[b], o_ref.at[0, 0],
             kbuf, vbuf, sems,
             block_k=block_k, n_blocks=n_blocks)
 

@@ -74,7 +74,8 @@ class AudioCachingSampler:
         def gen_step(carry, _):
             cache, rng = carry
             rng, r_init, r_renoise = jax.random.split(rng, 3)
-            cur = jax.random.normal(r_init, (b, 1, c), x.dtype)
+            cur = jax.random.normal(r_init, (b, 1, c),
+                                    jnp.float32).astype(x.dtype)
             t = jnp.ones((b, 1), x.dtype)
 
             def denoise(state, dt_i):

@@ -83,7 +83,8 @@ class AVCachingSamplerV2:
         def gen_step(carry, idx):
             cache, rng = carry
             rng, r_init, r_renoise = jax.random.split(rng, 3)
-            cur = jax.random.normal(r_init, (b, 1, c, h, w), x.dtype)
+            cur = jax.random.normal(r_init, (b, 1, c, h, w),
+                                    jnp.float32).astype(x.dtype)
             t = jnp.ones((b, 1), x.dtype)
 
             start = init_len + idx
@@ -163,7 +164,8 @@ class AVCachingSampler:
         def gen_step(carry, idx):
             cache, rng = carry
             rng, r_init, r_renoise = jax.random.split(rng, 3)
-            cur = jax.random.normal(r_init, (b, 1, c, h, w), x.dtype)
+            cur = jax.random.normal(r_init, (b, 1, c, h, w),
+                                    jnp.float32).astype(x.dtype)
             t = jnp.ones((b, 1), x.dtype)
 
             start = init_len + idx

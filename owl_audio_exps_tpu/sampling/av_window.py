@@ -135,11 +135,13 @@ class AVWindowSampler:
             # window: history shifted by one (drop oldest), last = noise
             wx = jnp.concatenate(
                 [zlerp(r_x, hist_x[:, 1:], self.noise_prev),
-                 jax.random.normal(r_n, hist_x[:, :1].shape, hist_x.dtype)],
+                 jax.random.normal(r_n, hist_x[:, :1].shape,
+                                   jnp.float32).astype(hist_x.dtype)],
                 axis=1)
             wa = jnp.concatenate(
                 [zlerp(r_a, hist_a[:, 1:], self.noise_prev),
-                 jax.random.normal(r_na, hist_a[:, :1].shape, hist_a.dtype)],
+                 jax.random.normal(r_na, hist_a[:, :1].shape,
+                                   jnp.float32).astype(hist_a.dtype)],
                 axis=1)
             wt = jnp.concatenate(
                 [jnp.full((b, W - 1), self.noise_prev, dtype=x.dtype),

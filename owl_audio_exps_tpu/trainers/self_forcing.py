@@ -59,7 +59,8 @@ class SelfForceTrainer(CausVidTrainer):
             cache, rng = carry
             frame_rng, m1, b1 = inputs
             r_init, r_steps = jax.random.split(frame_rng)
-            x = jax.random.normal(r_init, vid[:, :1].shape, vid.dtype)
+            x = jax.random.normal(r_init, vid[:, :1].shape,
+                                  jnp.float32).astype(vid.dtype)
             t = jnp.ones((b, 1), vid.dtype)
             end = jax.random.randint(r_steps, (), 1, rollout_steps + 1)
 
