@@ -73,7 +73,7 @@ def use_flash_decode(config, is_local: bool, q_len: int, kv_cache,
     if is_local and config.get("local_window") is not None:
         return False
     S = kv_cache.capacity
-    if S % 256 != 0:
+    if S % 128 != 0 or config.d_model % 128 != 0:
         return False
     if impl == "flash":
         return True
@@ -194,7 +194,13 @@ class Attn(nn.Module):
             if use_flash_decode(cfg, self.local, L, kv_cache, decoding):
                 from ..ops.flash_decode import flash_decode
                 ck, cv = kv_cache.read_layer(self.layer_idx)
-                block_k = 512 if kv_cache.capacity % 512 == 0 else 256
+                # block_k: divide capacity, keep 2x(k+v) buffers <= ~8MB VMEM
+                block_k = 128
+                for cand in (512, 256, 128):
+                    if (kv_cache.capacity % cand == 0
+                            and 4 * cand * cfg.d_model * 2 <= 8 * 2 ** 20):
+                        block_k = cand
+                        break
                 out = flash_decode(
                     q.astype(self.dtype), ck.astype(self.dtype),
                     cv.astype(self.dtype), k.astype(self.dtype),

@@ -109,13 +109,25 @@ class RFTFamilyTrainer(BaseTrainer):
         total = max_steps if max_steps is not None else \
             self.train_cfg.get("max_steps") or int(1e12)
 
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..parallel.mesh import AXIS_DATA, AXIS_FSDP
+        # [accum, batch, ...]: batch axis sharded over data x fsdp when it
+        # divides (replicate small test batches)
+        dp_total = self.mesh.shape[AXIS_DATA] * self.mesh.shape[AXIS_FSDP]
+        sharded = NamedSharding(self.mesh, P(None, (AXIS_DATA, AXIS_FSDP)))
+        repl = NamedSharding(self.mesh, P())
+
+        def put_stack(leaf):
+            arr = jnp.asarray(leaf)
+            ok = arr.ndim >= 2 and arr.shape[1] % dp_total == 0
+            return jax.device_put(arr, sharded if ok else repl)
+
         while self.total_step_counter < total:
             if self.should_stop():
                 self.save(state)
                 break
             micro = [next(data_iter) for _ in range(accum)]
-            batch_stack = jax.device_put(
-                jax.tree.map(jnp.asarray, _stack_accum(micro)))
+            batch_stack = jax.tree.map(put_stack, _stack_accum(micro))
             rng, step_rng = jax.random.split(rng)
             profiler.start()
             state, metrics = step_fn(state, batch_stack, step_rng)

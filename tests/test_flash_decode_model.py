@@ -18,7 +18,7 @@ F32 = jnp.float32
 def test_model_decode_via_flash_kernel(monkeypatch):
     monkeypatch.setenv("OWL_PALLAS_INTERPRET", "1")
     cfg = transformer_config(
-        model_id="audio_rft", n_layers=2, n_heads=2, d_model=32, channels=8,
+        model_id="audio_rft", n_layers=2, n_heads=2, d_model=128, channels=8,
         tokens_per_frame=1, n_frames=300, sample_size=8, causal=True,
         uncond=True, has_audio=True, rope_impl="audio1d",
         local_window=None, global_window=None, cfg_prob=0.0, backbone="dit",
