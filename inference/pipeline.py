@@ -17,7 +17,6 @@ from __future__ import annotations
 import os
 import sys
 import time
-from functools import partial
 from typing import Optional
 
 import numpy as np

@@ -15,7 +15,7 @@ owl_wms/nn/mmattn.py:127-130.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax.numpy as jnp
 import flax.linen as nn

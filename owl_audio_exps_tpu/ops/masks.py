@@ -21,7 +21,6 @@ KV-cache length (``q_offset``) during cached decode.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional, Tuple
 
 import numpy as np

@@ -10,7 +10,7 @@ wandb.Video / wandb.Audio by ExperimentLogger.log_media.
 from __future__ import annotations
 
 import os
-from typing import Optional, Sequence
+from typing import Sequence
 
 import numpy as np
 

@@ -19,14 +19,13 @@ utils/torch_import.py).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Optional
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..nn.audio_vae import AudioVAE, AudioEncoder, AudioDecoder
+from ..nn.audio_vae import AudioEncoder, AudioDecoder
 
 SAMPLES_PER_LATENT = 735  # 44.1 kHz / 60 latents-per-sec (BASELINE.md)
 
