@@ -120,6 +120,9 @@ MODEL_DEFAULTS: Dict[str, Any] = dict(
     local_idx=4,
     gradient_checkpointing=False,
     n_mouse_axes=2,
+    # TPU attention path selection (framework extensions)
+    attn_impl="auto",     # training path: auto | dense | splash
+    decode_impl="auto",   # cached decode: auto | dense | flash
 )
 
 TRAIN_DEFAULTS: Dict[str, Any] = dict(

@@ -95,11 +95,13 @@ def _decode_kernel(scalar_ref,            # SMEM [4]: start, length, S, lq
         def compute(carry):
             m, l, acc = carry
             wait_dma(j, slot)
-            k = kbuf[slot].reshape(block_k, H, Dh)
-            v = vbuf[slot].reshape(block_k, H, Dh)
+            # heads-leading layout: Mosaic requires batch dims at equal
+            # operand positions
+            k = jnp.swapaxes(kbuf[slot].reshape(block_k, H, Dh), 0, 1)
+            v = jnp.swapaxes(vbuf[slot].reshape(block_k, H, Dh), 0, 1)
             # batched over heads: [H, Lq_pad, BK]
             s = jax.lax.dot_general(
-                q, k, (((2,), (2,)), ((0,), (1,))),
+                q, k, (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32)
 
             p0 = j * block_k
@@ -112,9 +114,9 @@ def _decode_kernel(scalar_ref,            # SMEM [4]: start, length, S, lq
             alpha = jnp.exp(m - m_new)
             p = jnp.exp(s - m_new)
             l_new = l * alpha + jnp.sum(p, axis=2, keepdims=True)
-            # [H, Lq_pad, BK] x [BK, H, Dh] -> [H, Lq_pad, Dh]
+            # [H, Lq_pad, BK] x [H, BK, Dh] -> [H, Lq_pad, Dh]
             pv = jax.lax.dot_general(
-                p.astype(v.dtype), v, (((2,), (0,)), ((0,), (1,))),
+                p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32)
             return m_new, l_new, acc * alpha + pv
 
