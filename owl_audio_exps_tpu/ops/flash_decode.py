@@ -4,21 +4,20 @@ cache.
 The serve path's global-window layers attend a small query block (one
 frame, <= 65 tokens) against the whole ring cache (up to ~100k tokens for
 dit_v4). XLA's dense path materializes [Lq, S] logits per head through
-HBM; this kernel streams K/V row-blocks HBM -> VMEM with double-buffered
-DMA and an online-softmax accumulator so logits never leave VMEM, applies
-ring-validity masking from the (start, length) counters in-kernel, and
-skips blocks containing no valid slot (cache warm-up).
+HBM; this kernel streams K/V blocks through the Pallas pipeline with an
+online-softmax accumulator held in VMEM scratch across grid steps, so
+logits never leave VMEM, and applies ring-validity masking from the
+(start, length) counters in-kernel.
 
 Semantics: softmax over {valid ring slots} ∪ {current-frame tokens}.
 Validity of physical slot s is rel = (s - start) mod S < length — softmax
 is permutation-invariant so insertion order is irrelevant; this is
 exactly the decode-mode visibility of nn/attn.py (global layers).
 
-Kernel structure (Mosaic DMA slices must be 128-lane aligned, so per-head
-[*, 64] slices are out): ONE grid program per batch element; each K/V DMA
-moves a full [block_k, H*Dh] row block (d_model lanes — aligned for all
-real configs) and the matmuls batch over heads on the MXU — one DMA
-serves every head, maximizing HBM bandwidth utilization.
+Mosaic layout notes: cache blocks arrive as [BK, H, Dh] and are
+transposed to heads-leading [H, BK, Dh] (sublane-only transpose); all
+matmuls are head-batched with batch dims in equal operand positions;
+no lane-dim reshapes or sub-128 DMA slices anywhere.
 """
 
 from __future__ import annotations
@@ -34,115 +33,86 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _decode_kernel(scalar_ref,            # SMEM [4]: start, length, S, lq
-                   q_ref,                 # VMEM [H, Lq_pad, Dh]
-                   kcur_ref, vcur_ref,    # VMEM [H, Lq_pad, Dh]
-                   kc_ref, vc_ref,        # ANY  [B, S, H*Dh]
-                   o_ref,                 # VMEM [H, Lq_pad, Dh]
-                   kbuf, vbuf,            # VMEM [2, BK, H*Dh] scratch
-                   sems,                  # DMA sems [2, 2]
-                   *, block_k: int, n_blocks: int, n_heads: int):
-    start = scalar_ref[0]
-    length = scalar_ref[1]
-    S = scalar_ref[2]
-    lq = scalar_ref[3]
-    b = pl.program_id(0)
+def _make_kernel(block_k: int, n_blocks: int):
+    def kernel(scalar_ref,           # SMEM [4]: start, length, S, lq
+               q_ref,                # VMEM [1, H, Lq_pad, Dh] (pre-scaled)
+               kcur_ref, vcur_ref,   # VMEM [1, H, Lq_pad, Dh]
+               kblk_ref, vblk_ref,   # VMEM [1, BK, H, Dh] pipeline blocks
+               o_ref,                # VMEM [1, H, Lq_pad, Dh]
+               m_ref, l_ref, acc_ref):
+        start = scalar_ref[0]
+        length = scalar_ref[1]
+        S = scalar_ref[2]
+        lq = scalar_ref[3]
+        j = pl.program_id(1)
 
-    H, Lq_pad, Dh = q_ref.shape
-    q = q_ref[:]  # [H, Lq_pad, Dh] (pre-scaled)
+        _, H, Lq_pad, Dh = q_ref.shape
+        q = q_ref[0]  # [H, Lq_pad, Dh]
 
-    def block_has_valid(j):
-        p0 = j * block_k
-        p1 = p0 + block_k
-        end1 = start + length
-        # valid physical intervals: [start, min(end1, S)) ∪ [0, end1 - S)
-        ov1 = (p0 < jnp.minimum(end1, S)) & (p1 > start)
-        ov2 = p0 < jnp.maximum(end1 - S, 0)
-        return ov1 | ov2
-
-    def start_dma(j, slot):
-        p0 = j * block_k
-        pltpu.make_async_copy(
-            kc_ref.at[b, pl.ds(p0, block_k), :], kbuf.at[slot],
-            sems.at[slot, 0]).start()
-        pltpu.make_async_copy(
-            vc_ref.at[b, pl.ds(p0, block_k), :], vbuf.at[slot],
-            sems.at[slot, 1]).start()
-
-    def wait_dma(j, slot):
-        p0 = j * block_k
-        pltpu.make_async_copy(
-            kc_ref.at[b, pl.ds(p0, block_k), :], kbuf.at[slot],
-            sems.at[slot, 0]).wait()
-        pltpu.make_async_copy(
-            vc_ref.at[b, pl.ds(p0, block_k), :], vbuf.at[slot],
-            sems.at[slot, 1]).wait()
-
-    @pl.when(block_has_valid(0))
-    def _():
-        start_dma(0, 0)
-
-    def body(j, carry):
-        m, l, acc = carry
-        slot = jax.lax.rem(j, 2)
-        has_valid = block_has_valid(j)
-
-        # prefetch the next valid block into the other buffer
-        @pl.when((j + 1 < n_blocks) & block_has_valid(j + 1))
+        @pl.when(j == 0)
         def _():
-            start_dma(j + 1, 1 - slot)
+            m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+            l_ref[:] = jnp.zeros_like(l_ref)
+            acc_ref[:] = jnp.zeros_like(acc_ref)
 
-        def compute(carry):
-            m, l, acc = carry
-            wait_dma(j, slot)
-            # heads-leading layout: Mosaic requires batch dims at equal
-            # operand positions
-            k = jnp.swapaxes(kbuf[slot].reshape(block_k, H, Dh), 0, 1)
-            v = jnp.swapaxes(vbuf[slot].reshape(block_k, H, Dh), 0, 1)
-            # batched over heads: [H, Lq_pad, BK]
+        # any valid slot in this block? (physical valid intervals:
+        # [start, min(start+length, S)) and [0, max(start+length-S, 0)))
+        p0 = j * block_k
+        end1 = start + length
+        has_valid = ((p0 < jnp.minimum(end1, S))
+                     & (p0 + block_k > start)) | \
+                    (p0 < jnp.maximum(end1 - S, 0))
+
+        @pl.when(has_valid)
+        def _():
+            # heads-leading (sublane-only transpose)
+            k = jnp.swapaxes(kblk_ref[0], 0, 1)  # [H, BK, Dh]
+            v = jnp.swapaxes(vblk_ref[0], 0, 1)
             s = jax.lax.dot_general(
                 q, k, (((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32)  # [H, Lq_pad, BK]
 
-            p0 = j * block_k
             slot_ids = p0 + jax.lax.broadcasted_iota(
                 jnp.int32, (1, Lq_pad, block_k), 2)
             rel = jax.lax.rem(slot_ids - start + S, S)
             s = jnp.where(rel < length, s, NEG_INF)
 
-            m_new = jnp.maximum(m, jnp.max(s, axis=2, keepdims=True))
-            alpha = jnp.exp(m - m_new)
+            m_prev = m_ref[:]
+            l_prev = l_ref[:]
+            m_new = jnp.maximum(m_prev,
+                                jnp.max(s, axis=2, keepdims=True))
+            alpha = jnp.exp(m_prev - m_new)
             p = jnp.exp(s - m_new)
-            l_new = l * alpha + jnp.sum(p, axis=2, keepdims=True)
-            # [H, Lq_pad, BK] x [H, BK, Dh] -> [H, Lq_pad, Dh]
+            m_ref[:] = m_new
+            l_ref[:] = l_prev * alpha + jnp.sum(p, axis=2, keepdims=True)
             pv = jax.lax.dot_general(
                 p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32)
-            return m_new, l_new, acc * alpha + pv
+            acc_ref[:] = acc_ref[:] * alpha + pv
 
-        return jax.lax.cond(has_valid, compute, lambda c: c, (m, l, acc))
+        @pl.when(j == n_blocks - 1)
+        def _():
+            # fold in the current-frame tokens (mask q padding columns)
+            kcur = kcur_ref[0]
+            vcur = vcur_ref[0]
+            s = jax.lax.dot_general(
+                q, kcur, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)  # [H, Lq_pad, Lq_pad]
+            col = jax.lax.broadcasted_iota(
+                jnp.int32, (1, Lq_pad, Lq_pad), 2)
+            s = jnp.where(col < lq, s, NEG_INF)
+            m_prev = m_ref[:]
+            m_new = jnp.maximum(m_prev,
+                                jnp.max(s, axis=2, keepdims=True))
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.exp(s - m_new)
+            l = l_ref[:] * alpha + jnp.sum(p, axis=2, keepdims=True)
+            acc = acc_ref[:] * alpha + jax.lax.dot_general(
+                p.astype(vcur.dtype), vcur, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+            o_ref[0] = (acc / l).astype(o_ref.dtype)
 
-    m0 = jnp.full((H, Lq_pad, 1), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((H, Lq_pad, 1), jnp.float32)
-    acc0 = jnp.zeros((H, Lq_pad, Dh), jnp.float32)
-    m, l, acc = jax.lax.fori_loop(0, n_blocks, body, (m0, l0, acc0))
-
-    # fold in the current-frame tokens (always visible; mask q padding cols)
-    kcur = kcur_ref[:]
-    vcur = vcur_ref[:]
-    s = jax.lax.dot_general(q, kcur, (((2,), (2,)), ((0,), (0,))),
-                            preferred_element_type=jnp.float32)
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, Lq_pad, Lq_pad), 2)
-    s = jnp.where(col < lq, s, NEG_INF)
-    m_new = jnp.maximum(m, jnp.max(s, axis=2, keepdims=True))
-    alpha = jnp.exp(m - m_new)
-    p = jnp.exp(s - m_new)
-    l = l * alpha + jnp.sum(p, axis=2, keepdims=True)
-    acc = acc * alpha + jax.lax.dot_general(
-        p.astype(vcur.dtype), vcur, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)
-
-    o_ref[:] = (acc / l).astype(o_ref.dtype)
+    return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("block_k", "interpret"))
@@ -159,7 +129,6 @@ def flash_decode(q, k_cache, v_cache, k_cur, v_cur, start, length,
     block_k = min(block_k, S)
     assert S % block_k == 0, "cache capacity must tile by block_k"
     n_blocks = S // block_k
-    assert (H * Dh) % 128 == 0, "d_model must be lane-aligned (128)"
 
     Lq_pad = max(8, -(-Lq // 8) * 8)
     pad = Lq_pad - Lq
@@ -172,44 +141,34 @@ def flash_decode(q, k_cache, v_cache, k_cur, v_cur, start, length,
     kcp = pad_q(k_cur)
     vcp = pad_q(v_cur)
 
-    kc_flat = k_cache.reshape(B, S, H * Dh)
-    vc_flat = v_cache.reshape(B, S, H * Dh)
-
     scalars = jnp.stack([start.astype(jnp.int32), length.astype(jnp.int32),
                          jnp.int32(S), jnp.int32(Lq)])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B,),
+        grid=(B, n_blocks),
         in_specs=[
-            pl.BlockSpec((1, H, Lq_pad, Dh), lambda b, _: (b, 0, 0, 0)),
-            pl.BlockSpec((1, H, Lq_pad, Dh), lambda b, _: (b, 0, 0, 0)),
-            pl.BlockSpec((1, H, Lq_pad, Dh), lambda b, _: (b, 0, 0, 0)),
-            # ANY-space: whole array, kernel slices by program_id + pl.ds
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, H, Lq_pad, Dh), lambda b, j, _: (b, 0, 0, 0)),
+            pl.BlockSpec((1, H, Lq_pad, Dh), lambda b, j, _: (b, 0, 0, 0)),
+            pl.BlockSpec((1, H, Lq_pad, Dh), lambda b, j, _: (b, 0, 0, 0)),
+            pl.BlockSpec((1, block_k, H, Dh), lambda b, j, _: (b, j, 0, 0)),
+            pl.BlockSpec((1, block_k, H, Dh), lambda b, j, _: (b, j, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, H, Lq_pad, Dh), lambda b, _: (b, 0, 0, 0)),
+        out_specs=pl.BlockSpec((1, H, Lq_pad, Dh),
+                               lambda b, j, _: (b, 0, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, block_k, H * Dh), k_cache.dtype),
-            pltpu.VMEM((2, block_k, H * Dh), v_cache.dtype),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.VMEM((H, Lq_pad, 1), jnp.float32),   # m
+            pltpu.VMEM((H, Lq_pad, 1), jnp.float32),   # l
+            pltpu.VMEM((H, Lq_pad, Dh), jnp.float32),  # acc
         ],
     )
 
-    def kernel(scalar_ref, q_ref, kcur_ref, vcur_ref, kc_ref, vc_ref,
-               o_ref, kbuf, vbuf, sems):
-        _decode_kernel(
-            scalar_ref,
-            q_ref.at[0], kcur_ref.at[0], vcur_ref.at[0],
-            kc_ref, vc_ref, o_ref.at[0],
-            kbuf, vbuf, sems,
-            block_k=block_k, n_blocks=n_blocks, n_heads=H)
-
     out = pl.pallas_call(
-        kernel,
+        _make_kernel(block_k, n_blocks),
         out_shape=jax.ShapeDtypeStruct((B, H, Lq_pad, Dh), q.dtype),
         grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
-    )(scalars, qp, kcp, vcp, kc_flat, vc_flat)
+    )(scalars, qp, kcp, vcp, k_cache, v_cache)
     return out[:, :, :Lq]

@@ -106,6 +106,11 @@ class RFTFamilyTrainer(BaseTrainer):
         self.timer.reset()
         self.install_preemption_handler()
 
+        from ..utils.profiling import StepProfiler
+        step_profiler = StepProfiler(self.train_cfg.get("profile_dir"),
+                                     start=self.train_cfg.get(
+                                         "profile_start", 10))
+
         total = max_steps if max_steps is not None else \
             self.train_cfg.get("max_steps") or int(1e12)
 
@@ -129,10 +134,12 @@ class RFTFamilyTrainer(BaseTrainer):
             micro = [next(data_iter) for _ in range(accum)]
             batch_stack = jax.tree.map(put_stack, _stack_accum(micro))
             rng, step_rng = jax.random.split(rng)
+            step_profiler.maybe_start(self.total_step_counter)
             profiler.start()
             state, metrics = step_fn(state, batch_stack, step_rng)
             metrics = {k: float(v) for k, v in metrics.items()}
             profiler.stop()
+            step_profiler.maybe_stop(self.total_step_counter)
             self.metrics.log_dict(metrics)
             if (self.total_step_counter + 1) % 50 == 0:
                 self.metrics.log_dict(profiler.report())
@@ -252,11 +259,45 @@ class AVRFTTrainer(RFTFamilyTrainer):
         vid, audio, mouse, btn = [jnp.asarray(x) for x in batch[:4]]
         vid = (vid / self.train_cfg.vae_scale).astype(jnp.bfloat16)
         audio = audio.astype(jnp.bfloat16)
-        _, _, xl, al, _, _ = sampler(
+        _, _, xl, al, em, eb = sampler(
             self.core, {"params": state.ema_params["core"]},
             vid, audio, mouse, btn, jax.random.key(0))
+        self._export_media(xl, al, em, eb)
         return {"eval/video_latent_std": float(jnp.std(xl)),
                 "eval/audio_latent_std": float(jnp.std(al))}
+
+    def _export_media(self, video_latents, audio_latents, mouse, btn):
+        """Decode + export eval samples (the to_wandb_av analogue,
+        reference: av_trainer.py eval media) when eval_media_dir is set."""
+        out_dir = self.train_cfg.get("eval_media_dir")
+        if not out_dir or not self.is_main:
+            return
+        from ..utils.owl_vae_bridge import (
+            get_decoder_only, get_audio_encoder_decoder,
+            make_batched_decode_fn, make_batched_audio_decode_fn)
+        from ..utils.media import save_av_bundle
+        if not hasattr(self, "_media_decoders"):
+            dec = get_decoder_only(self.train_cfg.vae_id,
+                                   self.train_cfg.get("vae_cfg_path"),
+                                   self.train_cfg.get("vae_ckpt_path"),
+                                   latent_channels=self.model_cfg.channels)
+            _, adec = get_audio_encoder_decoder(
+                latent_channels=self.model_cfg.audio_channels)
+            self._media_decoders = (
+                make_batched_decode_fn(dec, self.train_cfg.vae_batch_size),
+                make_batched_audio_decode_fn(adec,
+                                             self.train_cfg.vae_batch_size))
+        vdec, adec = self._media_decoders
+        frames = np.asarray(vdec(
+            video_latents[:1] * self.train_cfg.vae_scale)[0],
+            dtype=np.float32)
+        wf = np.asarray(adec(
+            audio_latents[:1] * self.train_cfg.get("audio_vae_scale", 1.0)
+        )[0], dtype=np.float32)
+        save_av_bundle(out_dir, f"step_{self.total_step_counter}",
+                       video_frames=frames, waveform=wf,
+                       mouse=np.asarray(mouse[0], dtype=np.float32),
+                       buttons=np.asarray(btn[0], dtype=np.float32))
 
 
 class MixedAVRFTTrainer(RFTTrainer):
