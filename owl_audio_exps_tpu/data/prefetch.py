@@ -13,13 +13,17 @@ import jax.numpy as jnp
 
 
 def device_prefetch(iterator: Iterator, sharding=None, size: int = 2,
-                    cast_bf16: bool = True):
+                    cast_bf16: bool = True, put_fn=None):
     """Wrap a host batch iterator; yields device-resident (sharded) batches
-    with ``size`` batches in flight."""
+    with ``size`` batches in flight. ``put_fn`` overrides the per-batch
+    transfer (e.g. per-leaf shardings)."""
     q: "queue.Queue" = queue.Queue(maxsize=size)
     stop = threading.Event()
 
     def put(batch):
+        if put_fn is not None:
+            return put_fn(batch)
+
         def to_dev(x):
             arr = jnp.asarray(x)
             if cast_bf16 and jnp.issubdtype(arr.dtype, jnp.floating):

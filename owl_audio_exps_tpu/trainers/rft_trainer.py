@@ -127,12 +127,21 @@ class RFTFamilyTrainer(BaseTrainer):
             ok = arr.ndim >= 2 and arr.shape[1] % dp_total == 0
             return jax.device_put(arr, sharded if ok else repl)
 
+        # background host->device pipeline: stacking + transfer overlap the
+        # device step (replaces torch DataLoader prefetch_factor)
+        def stacked_gen():
+            while True:
+                yield _stack_accum([next(data_iter) for _ in range(accum)])
+
+        prefetched = device_prefetch(
+            stacked_gen(), size=2,
+            put_fn=lambda b: jax.tree.map(put_stack, b))
+
         while self.total_step_counter < total:
             if self.should_stop():
                 self.save(state)
                 break
-            micro = [next(data_iter) for _ in range(accum)]
-            batch_stack = jax.tree.map(put_stack, _stack_accum(micro))
+            batch_stack = next(prefetched)
             rng, step_rng = jax.random.split(rng)
             step_profiler.maybe_start(self.total_step_counter)
             profiler.start()
