@@ -198,7 +198,7 @@ class Attn(nn.Module):
                 block_k = 128
                 for cand in (512, 256, 128):
                     if (kv_cache.capacity % cand == 0
-                            and 4 * cand * cfg.d_model * 2 <= 8 * 2 ** 20):
+                            and 4 * cand * cfg.d_model * 2 <= 4 * 2 ** 20):
                         block_k = cand
                         break
                 out = flash_decode(

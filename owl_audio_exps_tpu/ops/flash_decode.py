@@ -168,7 +168,8 @@ def flash_decode(q, k_cache, v_cache, k_cur, v_cur, start, length,
         out_shape=jax.ShapeDtypeStruct((B, H, Lq_pad, Dh), q.dtype),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 2 ** 20),
         interpret=interpret,
     )(scalars, qp, kcp, vcp, k_cache, v_cache)
     return out[:, :, :Lq]
