@@ -192,6 +192,9 @@ class BaseTrainer:
             updates, opt_state = tx.update(grads, state.opt_state,
                                            state.params)
             params = optax.apply_updates(state.params, updates)
+            # param-scale telemetry (the wandb.watch analogue,
+            # reference: rft_trainer.py:155-156)
+            metrics = dict(metrics, param_norm=optax.global_norm(params))
             ema = jax.tree.map(
                 lambda e, p: e * beta + p.astype(e.dtype) * (1.0 - beta),
                 state.ema_params, params)
