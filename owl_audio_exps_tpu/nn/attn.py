@@ -186,11 +186,7 @@ class Attn(nn.Module):
         local_gather = False
         if kv_cache is not None:
             if write:
-                new_cache = kv_cache.update_layer(
-                    self.layer_idx,
-                    jnp.transpose(k, (0, 2, 1, 3)),  # [B, L, H, Dh]
-                    jnp.transpose(v, (0, 2, 1, 3)),
-                )
+                new_cache = kv_cache.update_layer(self.layer_idx, k, v)
             if use_flash_decode(cfg, self.local, L, kv_cache, decoding):
                 from ..ops.flash_decode import flash_decode
                 ck, cv = kv_cache.read_layer(self.layer_idx)
@@ -226,24 +222,16 @@ class Attn(nn.Module):
                 slots = jnp.mod(kv_cache.start + rel, kv_cache.capacity)
                 gather_valid = (rel >= 0) & (rel < kv_cache.length)
                 ck, cv = kv_cache.read_layer(self.layer_idx)
-                gk = jnp.take(ck, slots, axis=1)   # [B, n_gather, H, Dh]
-                gv = jnp.take(cv, slots, axis=1)
-                k = jnp.concatenate(
-                    [jnp.transpose(gk, (0, 2, 1, 3)).astype(k.dtype), k],
-                    axis=2)
-                v = jnp.concatenate(
-                    [jnp.transpose(gv, (0, 2, 1, 3)).astype(v.dtype), v],
-                    axis=2)
+                gk = jnp.take(ck, slots, axis=2)   # [B, H, n_gather, Dh]
+                gv = jnp.take(cv, slots, axis=2)
+                k = jnp.concatenate([gk.astype(k.dtype), k], axis=2)
+                v = jnp.concatenate([gv.astype(v.dtype), v], axis=2)
                 mask = jnp.concatenate(
                     [gather_valid, jnp.ones((L,), dtype=bool)])[None, :]
             else:
                 ck, cv = kv_cache.read_layer(self.layer_idx)
-                k = jnp.concatenate(
-                    [jnp.transpose(ck, (0, 2, 1, 3)).astype(k.dtype), k],
-                    axis=2)
-                v = jnp.concatenate(
-                    [jnp.transpose(cv, (0, 2, 1, 3)).astype(v.dtype), v],
-                    axis=2)
+                k = jnp.concatenate([ck.astype(k.dtype), k], axis=2)
+                v = jnp.concatenate([cv.astype(v.dtype), v], axis=2)
 
         if splash and kv_cache is None:
             from ..ops.splash import splash_attention

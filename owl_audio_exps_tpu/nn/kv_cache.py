@@ -6,9 +6,11 @@ concatenation and truncates by slicing — shape-dynamic and uncompilable
 under XLA. Here the cache is a **fixed-capacity ring buffer** carried as a
 pytree through ``lax.scan`` loops:
 
-* ``k``/``v``: [n_layers, b, capacity, n_heads, head_dim] — keys stored
-  *already rotated* at their absolute write position, matching the
-  reference which caches post-RoPE keys (owl_wms/nn/attn.py:87-97).
+* ``k``/``v``: [n_layers, b, n_heads, capacity, head_dim] — heads-major
+  so attention reads, ring writes, and the flash-decode kernel all use
+  the same layout with no transposes; keys stored *already rotated* at
+  their absolute write position, matching the reference which caches
+  post-RoPE keys (owl_wms/nn/attn.py:87-97).
 * ``start``/``length``: ring window over slots. Insertion order index of a
   slot is ``rel = (slot - start) mod capacity``; valid iff ``rel < length``.
 * ``rope_offset``: monotonic count of tokens ever written. Mirrors the
@@ -34,8 +36,8 @@ from flax import struct
 
 @struct.dataclass
 class KVCache:
-    k: jnp.ndarray          # [L, B, S, H, Dh]
-    v: jnp.ndarray          # [L, B, S, H, Dh]
+    k: jnp.ndarray          # [L, B, H, S, Dh]
+    v: jnp.ndarray          # [L, B, H, S, Dh]
     start: jnp.ndarray      # int32 scalar — ring start slot
     length: jnp.ndarray     # int32 scalar — valid token count
     rope_offset: jnp.ndarray  # int32 scalar — monotonic write-position counter
@@ -45,7 +47,7 @@ class KVCache:
 
     @property
     def capacity(self) -> int:
-        return self.k.shape[2]
+        return self.k.shape[3]
 
     @property
     def n_layers(self) -> int:
@@ -56,7 +58,7 @@ class KVCache:
     def create(cls, n_layers: int, batch_size: int, capacity: int,
                n_heads: int, head_dim: int, tokens_per_frame: int = 1,
                dtype=jnp.bfloat16) -> "KVCache":
-        shape = (n_layers, batch_size, capacity, n_heads, head_dim)
+        shape = (n_layers, batch_size, n_heads, capacity, head_dim)
         zero = jnp.zeros((), dtype=jnp.int32)
         return cls(
             k=jnp.zeros(shape, dtype=dtype),
@@ -102,37 +104,36 @@ class KVCache:
                      new_v: jnp.ndarray) -> "KVCache":
         """Write t rotated tokens for one layer at the ring head.
 
-        new_k/new_v: [B, t, H, Dh]. Does NOT advance counters — call
-        ``advance(t)`` once after all layers have written (the reference
-        updates per-layer offsets identically; a single shared counter is
-        the same thing).
+        new_k/new_v: [B, H, t, Dh] (attention layout — no transposes).
+        Does NOT advance counters — call ``advance(t)`` once after all
+        layers have written (the reference updates per-layer offsets
+        identically; a single shared counter is the same thing).
         """
-        t = new_k.shape[1]
+        t = new_k.shape[2]
         if (self.capacity % self.tokens_per_frame == 0
                 and t % self.tokens_per_frame == 0):
             # Frame-aligned fast path: start/length only ever move in whole
             # frames, so the write position is frame-aligned and a write of
             # t <= capacity tokens never wraps the ring — a contiguous
             # dynamic_update_slice, which XLA aliases in place under scan
-            # (the general scatter below forces a full cache copy per
-            # layer per write).
+            # (a general scatter forces a full cache copy per layer per
+            # write).
             pos = jnp.mod(self.start + self.length, self.capacity)
             k = jax.lax.dynamic_update_slice(
                 self.k, new_k[None].astype(self.k.dtype),
-                (layer_idx, 0, pos, 0, 0))
+                (layer_idx, 0, 0, pos, 0))
             v = jax.lax.dynamic_update_slice(
                 self.v, new_v[None].astype(self.v.dtype),
-                (layer_idx, 0, pos, 0, 0))
+                (layer_idx, 0, 0, pos, 0))
             return self.replace(k=k, v=v)
 
         slots = jnp.mod(self.start + self.length + jnp.arange(t, dtype=jnp.int32),
                         self.capacity)
-        # NB: mixed scalar/slice/array indexing hoists the advanced axes to
-        # the front, so the scatter operand layout is [t, B, H, Dh].
-        k = self.k.at[layer_idx, :, slots].set(
-            jnp.swapaxes(new_k, 0, 1).astype(self.k.dtype))
-        v = self.v.at[layer_idx, :, slots].set(
-            jnp.swapaxes(new_v, 0, 1).astype(self.v.dtype))
+        # advanced indexing on the slot axis; operand layout [t, B, H, Dh]
+        k = self.k.at[layer_idx, :, :, slots].set(
+            jnp.moveaxis(new_k, 2, 0).astype(self.k.dtype))
+        v = self.v.at[layer_idx, :, :, slots].set(
+            jnp.moveaxis(new_v, 2, 0).astype(self.v.dtype))
         return self.replace(k=k, v=v)
 
     def advance(self, t: int) -> "KVCache":
@@ -170,7 +171,7 @@ class KVCache:
     # --------------------------------------------------------------- reads
     def read_layer(self, layer_idx: int, noise: float = 0.0,
                    rng: jax.Array = None):
-        """Return (k, v) [B, S, H, Dh] for a layer; optional gaussian cache
+        """Return (k, v) [B, H, S, Dh] for a layer; optional gaussian cache
         noising (reference: owl_wms/nn/kv_cache.py:44-48 noise_caches)."""
         k = self.k[layer_idx]
         v = self.v[layer_idx]

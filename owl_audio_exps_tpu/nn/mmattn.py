@@ -74,15 +74,10 @@ class MMAttn(nn.Module):
         new_cache = kv_cache
         if kv_cache is not None:
             if write:
-                new_cache = kv_cache.update_layer(
-                    self.layer_idx,
-                    jnp.transpose(k, (0, 2, 1, 3)),
-                    jnp.transpose(v, (0, 2, 1, 3)))
+                new_cache = kv_cache.update_layer(self.layer_idx, k, v)
             ck, cv = kv_cache.read_layer(self.layer_idx)
-            k = jnp.concatenate(
-                [jnp.transpose(ck, (0, 2, 1, 3)).astype(k.dtype), k], axis=2)
-            v = jnp.concatenate(
-                [jnp.transpose(cv, (0, 2, 1, 3)).astype(v.dtype), v], axis=2)
+            k = jnp.concatenate([ck.astype(k.dtype), k], axis=2)
+            v = jnp.concatenate([cv.astype(v.dtype), v], axis=2)
 
         if splash and kv_cache is None:
             from ..ops.splash import splash_attention

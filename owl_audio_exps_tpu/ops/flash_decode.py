@@ -14,10 +14,10 @@ Validity of physical slot s is rel = (s - start) mod S < length — softmax
 is permutation-invariant so insertion order is irrelevant; this is
 exactly the decode-mode visibility of nn/attn.py (global layers).
 
-Mosaic layout notes: cache blocks arrive as [BK, H, Dh] and are
-transposed to heads-leading [H, BK, Dh] (sublane-only transpose); all
-matmuls are head-batched with batch dims in equal operand positions;
-no lane-dim reshapes or sub-128 DMA slices anywhere.
+Mosaic layout notes: the ring cache is heads-major [B, H, S, Dh], so
+pipeline blocks arrive already heads-leading [H, BK, Dh] — no in-kernel
+transposes or lane reshapes at all; matmuls are head-batched with batch
+dims in equal operand positions.
 """
 
 from __future__ import annotations
@@ -37,7 +37,7 @@ def _make_kernel(block_k: int, n_blocks: int):
     def kernel(scalar_ref,           # SMEM [4]: start, length, S, lq
                q_ref,                # VMEM [1, H, Lq_pad, Dh] (pre-scaled)
                kcur_ref, vcur_ref,   # VMEM [1, H, Lq_pad, Dh]
-               kblk_ref, vblk_ref,   # VMEM [1, BK, H, Dh] pipeline blocks
+               kblk_ref, vblk_ref,   # VMEM [1, H, BK, Dh] pipeline blocks
                o_ref,                # VMEM [1, H, Lq_pad, Dh]
                m_ref, l_ref, acc_ref):
         start = scalar_ref[0]
@@ -65,9 +65,8 @@ def _make_kernel(block_k: int, n_blocks: int):
 
         @pl.when(has_valid)
         def _():
-            # heads-leading (sublane-only transpose)
-            k = jnp.swapaxes(kblk_ref[0], 0, 1)  # [H, BK, Dh]
-            v = jnp.swapaxes(vblk_ref[0], 0, 1)
+            k = kblk_ref[0]  # [H, BK, Dh] — already heads-leading
+            v = vblk_ref[0]
             s = jax.lax.dot_general(
                 q, k, (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32)  # [H, Lq_pad, BK]
@@ -118,14 +117,15 @@ def _make_kernel(block_k: int, n_blocks: int):
 @functools.partial(jax.jit, static_argnames=("block_k", "interpret"))
 def flash_decode(q, k_cache, v_cache, k_cur, v_cur, start, length,
                  block_k: int = 512, interpret: bool = None):
-    """q, k_cur, v_cur: [B, H, Lq, Dh]; k_cache/v_cache: [B, S, H, Dh];
-    start/length: int32 ring counters. Returns [B, H, Lq, Dh].
+    """q, k_cur, v_cur: [B, H, Lq, Dh]; k_cache/v_cache: [B, H, S, Dh]
+    (heads-major ring layout); start/length: int32 ring counters.
+    Returns [B, H, Lq, Dh].
     """
     if interpret is None:
         # env override: CPU testing of the kernel through the model path
         interpret = os.environ.get("OWL_PALLAS_INTERPRET") == "1"
     B, H, Lq, Dh = q.shape
-    S = k_cache.shape[1]
+    S = k_cache.shape[2]
     block_k = min(block_k, S)
     assert S % block_k == 0, "cache capacity must tile by block_k"
     n_blocks = S // block_k
@@ -151,8 +151,8 @@ def flash_decode(q, k_cache, v_cache, k_cur, v_cur, start, length,
             pl.BlockSpec((1, H, Lq_pad, Dh), lambda b, j, _: (b, 0, 0, 0)),
             pl.BlockSpec((1, H, Lq_pad, Dh), lambda b, j, _: (b, 0, 0, 0)),
             pl.BlockSpec((1, H, Lq_pad, Dh), lambda b, j, _: (b, 0, 0, 0)),
-            pl.BlockSpec((1, block_k, H, Dh), lambda b, j, _: (b, j, 0, 0)),
-            pl.BlockSpec((1, block_k, H, Dh), lambda b, j, _: (b, j, 0, 0)),
+            pl.BlockSpec((1, H, block_k, Dh), lambda b, j, _: (b, 0, j, 0)),
+            pl.BlockSpec((1, H, block_k, Dh), lambda b, j, _: (b, 0, j, 0)),
         ],
         out_specs=pl.BlockSpec((1, H, Lq_pad, Dh),
                                lambda b, j, _: (b, 0, 0, 0)),

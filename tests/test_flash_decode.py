@@ -13,14 +13,12 @@ F32 = jnp.float32
 
 def dense_reference(q, k_cache, v_cache, k_cur, v_cur, start, length):
     B, H, Lq, Dh = q.shape
-    S = k_cache.shape[1]
+    S = k_cache.shape[2]
     rel = np.mod(np.arange(S) - int(start), S)
     valid = rel < int(length)
     mask = np.concatenate([valid, np.ones(Lq, bool)])[None, :]
-    k = jnp.concatenate(
-        [jnp.transpose(k_cache, (0, 2, 1, 3)), k_cur], axis=2)
-    v = jnp.concatenate(
-        [jnp.transpose(v_cache, (0, 2, 1, 3)), v_cur], axis=2)
+    k = jnp.concatenate([k_cache, k_cur], axis=2)
+    v = jnp.concatenate([v_cache, v_cur], axis=2)
     return dot_attention(q, k, v, jnp.asarray(mask))
 
 
@@ -34,8 +32,8 @@ def test_flash_decode_matches_dense(start, length, Lq):
     B, H, S, Dh = 1, 2, 128, 128
     rs = np.random.RandomState(0)
     q = jnp.asarray(rs.randn(B, H, Lq, Dh), F32)
-    k_cache = jnp.asarray(rs.randn(B, S, H, Dh), F32)
-    v_cache = jnp.asarray(rs.randn(B, S, H, Dh), F32)
+    k_cache = jnp.asarray(rs.randn(B, H, S, Dh), F32)
+    v_cache = jnp.asarray(rs.randn(B, H, S, Dh), F32)
     k_cur = jnp.asarray(rs.randn(B, H, Lq, Dh), F32)
     v_cur = jnp.asarray(rs.randn(B, H, Lq, Dh), F32)
 
