@@ -142,6 +142,78 @@ def build_masks(
     return local, glob
 
 
+def cached_attention(cfg, layer_idx: int, local: bool, dtype,
+                     q, k, v, mask, kv_cache: Optional[KVCache],
+                     write: bool, splash: bool, decoding: bool,
+                     doc_id=None, tokens_per_frame: Optional[int] = None):
+    """Shared attention core over the ring cache (used by Attn and MMAttn).
+
+    q/k/v: [B, H, L, Dh], already QK-normed and rotated. Returns
+    (attn_out [B, H, L, Dh], new_cache). Path selection:
+      * splash Pallas kernel for long un-cached sequences (training);
+      * flash-decode Pallas kernel for decode-mode global layers;
+      * O(window) ring gather for decode-mode local layers;
+      * masked dense attention otherwise.
+    """
+    tpf = tokens_per_frame or cfg.tokens_per_frame
+    L = q.shape[2]
+    new_cache = kv_cache
+    if kv_cache is not None:
+        if write:
+            new_cache = kv_cache.update_layer(layer_idx, k, v)
+
+        if use_flash_decode(cfg, local, L, kv_cache, decoding):
+            from ..ops.flash_decode import flash_decode
+            ck, cv = kv_cache.read_layer(layer_idx)
+            # block_k: divide capacity, keep 2x(k+v) buffers <= ~8MB VMEM
+            block_k = 128
+            for cand in (512, 256, 128):
+                if (kv_cache.capacity % cand == 0
+                        and 4 * cand * cfg.d_model * 2 <= 4 * 2 ** 20):
+                    block_k = cand
+                    break
+            out = flash_decode(
+                q.astype(dtype), ck.astype(dtype), cv.astype(dtype),
+                k.astype(dtype), v.astype(dtype),
+                kv_cache.start, kv_cache.length, block_k=block_k)
+            return out, new_cache
+
+        local_w = cfg.get("local_window")
+        if mask is None and local and can_local_gather(cfg, L, kv_cache):
+            # decode fast path: a local layer sees only the trailing
+            # local_window frames of [cache | current] — gather that
+            # window from the ring instead of attending over the full
+            # capacity (the reference's K/V slice, owl_wms/nn/attn.py:
+            # 102-104, turned into an O(window) gather)
+            n_gather = local_w * tpf - L
+            rel0 = kv_cache.length - n_gather
+            rel = rel0 + jnp.arange(n_gather, dtype=jnp.int32)
+            slots = jnp.mod(kv_cache.start + rel, kv_cache.capacity)
+            gather_valid = (rel >= 0) & (rel < kv_cache.length)
+            ck, cv = kv_cache.read_layer(layer_idx)
+            gk = jnp.take(ck, slots, axis=2)   # [B, H, n_gather, Dh]
+            gv = jnp.take(cv, slots, axis=2)
+            k = jnp.concatenate([gk.astype(k.dtype), k], axis=2)
+            v = jnp.concatenate([gv.astype(v.dtype), v], axis=2)
+            mask = jnp.concatenate(
+                [gather_valid, jnp.ones((L,), dtype=bool)])[None, :]
+        else:
+            ck, cv = kv_cache.read_layer(layer_idx)
+            k = jnp.concatenate([ck.astype(k.dtype), k], axis=2)
+            v = jnp.concatenate([cv.astype(v.dtype), v], axis=2)
+
+    if splash and kv_cache is None:
+        from ..ops.splash import splash_attention
+        window = cfg.get("local_window") if local else cfg.get("global_window")
+        out = splash_attention(q.astype(dtype), k.astype(dtype),
+                               v.astype(dtype), tpf, window,
+                               bool(cfg.causal), doc_id)
+    else:
+        out = dot_attention(q.astype(dtype), k.astype(dtype),
+                            v.astype(dtype), mask)
+    return out, new_cache
+
+
 class Attn(nn.Module):
     """Fused-QKV attention with QK rms-norm, RoPE, ring KV cache.
 
@@ -182,68 +254,9 @@ class Attn(nn.Module):
         q = rope(q, positions)
         k = rope(k, positions)
 
-        new_cache = kv_cache
-        local_gather = False
-        if kv_cache is not None:
-            if write:
-                new_cache = kv_cache.update_layer(self.layer_idx, k, v)
-            if use_flash_decode(cfg, self.local, L, kv_cache, decoding):
-                from ..ops.flash_decode import flash_decode
-                ck, cv = kv_cache.read_layer(self.layer_idx)
-                # block_k: divide capacity, keep 2x(k+v) buffers <= ~8MB VMEM
-                block_k = 128
-                for cand in (512, 256, 128):
-                    if (kv_cache.capacity % cand == 0
-                            and 4 * cand * cfg.d_model * 2 <= 4 * 2 ** 20):
-                        block_k = cand
-                        break
-                out = flash_decode(
-                    q.astype(self.dtype), ck.astype(self.dtype),
-                    cv.astype(self.dtype), k.astype(self.dtype),
-                    v.astype(self.dtype), kv_cache.start, kv_cache.length,
-                    block_k=block_k)
-                out = jnp.transpose(out, (0, 2, 1, 3)).reshape(
-                    B, L, cfg.d_model)
-                out = Linear(cfg.d_model, dtype=self.dtype, name="out")(out)
-                return out, new_cache
-
-            local_w = cfg.get("local_window")
-            local_gather = (mask is None and self.local
-                            and can_local_gather(cfg, L, kv_cache))
-            if local_gather:
-                # decode fast path: a local layer sees only the trailing
-                # local_window frames of [cache | current] — gather that
-                # window from the ring instead of attending over the full
-                # capacity (the reference's K/V slice, owl_wms/nn/attn.py:
-                # 102-104, turned into an O(window) gather)
-                n_gather = local_w * cfg.tokens_per_frame - L
-                rel0 = kv_cache.length - n_gather
-                rel = rel0 + jnp.arange(n_gather, dtype=jnp.int32)
-                slots = jnp.mod(kv_cache.start + rel, kv_cache.capacity)
-                gather_valid = (rel >= 0) & (rel < kv_cache.length)
-                ck, cv = kv_cache.read_layer(self.layer_idx)
-                gk = jnp.take(ck, slots, axis=2)   # [B, H, n_gather, Dh]
-                gv = jnp.take(cv, slots, axis=2)
-                k = jnp.concatenate([gk.astype(k.dtype), k], axis=2)
-                v = jnp.concatenate([gv.astype(v.dtype), v], axis=2)
-                mask = jnp.concatenate(
-                    [gather_valid, jnp.ones((L,), dtype=bool)])[None, :]
-            else:
-                ck, cv = kv_cache.read_layer(self.layer_idx)
-                k = jnp.concatenate([ck.astype(k.dtype), k], axis=2)
-                v = jnp.concatenate([cv.astype(v.dtype), v], axis=2)
-
-        if splash and kv_cache is None:
-            from ..ops.splash import splash_attention
-            window = cfg.get("local_window") if self.local \
-                else cfg.get("global_window")
-            out = splash_attention(
-                q.astype(self.dtype), k.astype(self.dtype),
-                v.astype(self.dtype), cfg.tokens_per_frame, window,
-                bool(cfg.causal), doc_id)
-        else:
-            out = dot_attention(q.astype(self.dtype), k.astype(self.dtype),
-                                v.astype(self.dtype), mask)
+        out, new_cache = cached_attention(
+            cfg, self.layer_idx, self.local, self.dtype,
+            q, k, v, mask, kv_cache, write, splash, decoding, doc_id)
         out = jnp.transpose(out, (0, 2, 1, 3)).reshape(B, L, cfg.d_model)
         out = Linear(cfg.d_model, dtype=self.dtype, name="out")(out)
         return out, new_cache

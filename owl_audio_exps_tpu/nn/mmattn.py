@@ -25,7 +25,8 @@ from ..ops.norms import rms_norm
 from ..ops.rope import rope_table_for
 from .layers import MLP, Linear, cond_adaln, cond_gate
 from .kv_cache import KVCache
-from .attn import build_masks, local_layer_flags, use_splash_path
+from .attn import (build_masks, cached_attention,
+                   local_layer_flags, use_splash_path)
 
 
 class MMAttn(nn.Module):
@@ -41,7 +42,8 @@ class MMAttn(nn.Module):
 
     @nn.compact
     def __call__(self, x0, x1, mask, kv_cache: Optional[KVCache] = None,
-                 write: bool = False, splash: bool = False):
+                 write: bool = False, splash: bool = False,
+                 decoding: bool = False):
         cfg = self.config
         B = x0.shape[0]
         H = cfg.n_heads
@@ -71,24 +73,10 @@ class MMAttn(nn.Module):
         q = rope(q, positions)
         k = rope(k, positions)
 
-        new_cache = kv_cache
-        if kv_cache is not None:
-            if write:
-                new_cache = kv_cache.update_layer(self.layer_idx, k, v)
-            ck, cv = kv_cache.read_layer(self.layer_idx)
-            k = jnp.concatenate([ck.astype(k.dtype), k], axis=2)
-            v = jnp.concatenate([cv.astype(v.dtype), v], axis=2)
-
-        if splash and kv_cache is None:
-            from ..ops.splash import splash_attention
-            window = cfg.get("local_window") if self.local \
-                else cfg.get("global_window")
-            out = splash_attention(q.astype(self.dtype), k.astype(self.dtype),
-                                   v.astype(self.dtype), tpf, window,
-                                   bool(cfg.causal))
-        else:
-            out = dot_attention(q.astype(self.dtype), k.astype(self.dtype),
-                                v.astype(self.dtype), mask)
+        out, new_cache = cached_attention(
+            cfg, self.layer_idx, self.local, self.dtype,
+            q, k, v, mask, kv_cache, write, splash, decoding,
+            tokens_per_frame=tpf)
         out = jnp.transpose(out, (0, 2, 1, 3)).reshape(
             B, n_frames, tpf, cfg.d_model)
         y0 = out[:, :, :V].reshape(B, n_frames * V, cfg.d_model)
@@ -110,7 +98,8 @@ class MMDiTBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x0, x1, cond0, cond1, mask, kv_cache=None,
-                 write: bool = False, splash: bool = False):
+                 write: bool = False, splash: bool = False,
+                 decoding: bool = False):
         d = self.config.d_model
         a_s0, a_b0, a_g0, m_s0, m_b0, m_g0 = jnp.split(cond0, 6, axis=-1)
         a_s1, a_b1, a_g1, m_s1, m_b1, m_g1 = jnp.split(cond1, 6, axis=-1)
@@ -120,7 +109,7 @@ class MMDiTBlock(nn.Module):
         h1 = cond_adaln(x1, a_s1, a_b1)
         (h0, h1), kv_cache = MMAttn(self.config, self.layer_idx, self.local,
                                     dtype=self.dtype, name="attn")(
-            h0, h1, mask, kv_cache, write, splash)
+            h0, h1, mask, kv_cache, write, splash, decoding)
         x0 = r0 + cond_gate(h0, a_g0)
         x1 = r1 + cond_gate(h1, a_g1)
 
@@ -152,10 +141,8 @@ class MMDiT(nn.Module):
         if splash:
             local_mask = global_mask = None
         else:
-            # MMAttn has no gather fast path yet — always take dense masks
             local_mask, global_mask = build_masks(cfg, L, None, kv_cache,
-                                                  decoding,
-                                                  allow_local_gather=False)
+                                                  decoding)
 
         y = nn.silu(cond.astype(self.dtype))
         y = Linear(d * 12, dtype=self.dtype, name="cond_proj")(y)
@@ -165,7 +152,8 @@ class MMDiT(nn.Module):
             mask = local_mask if local else global_mask
             (x0, x1), kv_cache = MMDiTBlock(
                 cfg, idx, local, dtype=self.dtype, name=f"blocks_{idx}")(
-                x0, x1, cond0, cond1, mask, kv_cache, write, splash)
+                x0, x1, cond0, cond1, mask, kv_cache, write, splash,
+                decoding)
 
         if kv_cache is not None and write:
             kv_cache = kv_cache.advance(L)
