@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -79,7 +80,10 @@ def use_flash_decode(config, is_local: bool, q_len: int, kv_cache,
         return True
     try:
         import jax
-        return jax.devices()[0].platform == "tpu" and S >= 2048
+        # dense XLA attention wins below ~16k cached tokens (measured on
+        # v5e, scripts/tpu_sampler_bisect3.py); flash avoids the HBM
+        # logits round-trip that dominates at larger caches
+        return jax.devices()[0].platform == "tpu" and S >= 16384
     except Exception:
         return False
 
@@ -165,6 +169,9 @@ def cached_attention(cfg, layer_idx: int, local: bool, dtype,
         if use_flash_decode(cfg, local, L, kv_cache, decoding):
             from ..ops.flash_decode import flash_decode
             ck, cv = kv_cache.read_layer(layer_idx)
+            if kv_cache.shadow:
+                ck = ck[:, :, :kv_cache.capacity]
+                cv = cv[:, :, :kv_cache.capacity]
             # block_k: divide capacity, keep 2x(k+v) buffers <= ~8MB VMEM
             block_k = 128
             for cand in (512, 256, 128):
@@ -188,11 +195,19 @@ def cached_attention(cfg, layer_idx: int, local: bool, dtype,
             n_gather = local_w * tpf - L
             rel0 = kv_cache.length - n_gather
             rel = rel0 + jnp.arange(n_gather, dtype=jnp.int32)
-            slots = jnp.mod(kv_cache.start + rel, kv_cache.capacity)
             gather_valid = (rel >= 0) & (rel < kv_cache.length)
             ck, cv = kv_cache.read_layer(layer_idx)
-            gk = jnp.take(ck, slots, axis=2)   # [B, H, n_gather, Dh]
-            gv = jnp.take(cv, slots, axis=2)
+            if kv_cache.shadow >= n_gather:
+                # shadow-mirrored ring: the trailing window is one
+                # contiguous slice (dynamic gathers are pathologically
+                # slow on TPU — scripts/tpu_sampler_bisect3.py)
+                win = jnp.mod(kv_cache.start + rel0, kv_cache.capacity)
+                gk = jax.lax.dynamic_slice_in_dim(ck, win, n_gather, axis=2)
+                gv = jax.lax.dynamic_slice_in_dim(cv, win, n_gather, axis=2)
+            else:
+                slots = jnp.mod(kv_cache.start + rel, kv_cache.capacity)
+                gk = jnp.take(ck, slots, axis=2)   # [B, H, n_gather, Dh]
+                gv = jnp.take(cv, slots, axis=2)
             k = jnp.concatenate([gk.astype(k.dtype), k], axis=2)
             v = jnp.concatenate([gv.astype(v.dtype), v], axis=2)
             mask = jnp.concatenate(

@@ -13,6 +13,13 @@ pytree through ``lax.scan`` loops:
   post-RoPE keys (owl_wms/nn/attn.py:87-97).
 * ``start``/``length``: ring window over slots. Insertion order index of a
   slot is ``rel = (slot - start) mod capacity``; valid iff ``rel < length``.
+* ``shadow``: the first ``shadow`` slots are mirrored past the end of the
+  ring (alloc = capacity + shadow), so the trailing local-attention window
+  is ALWAYS one contiguous slice — decode-mode local layers read it with a
+  single dynamic_slice instead of a (pathologically slow on TPU) gather.
+  Single-frame writes maintain the mirror; multi-frame prefill writes start
+  at slot 0 pre-wrap, so the mirror is always fresh by the time a window
+  read can cross the boundary.
 * ``rope_offset``: monotonic count of tokens ever written. Mirrors the
   reference's per-layer ``offsets`` exactly (owl_wms/nn/kv_cache.py:50-56):
   it advances on every update and is **not** rewound by truncation — that
@@ -44,10 +51,11 @@ class KVCache:
 
     # static metadata
     tokens_per_frame: int = struct.field(pytree_node=False, default=1)
+    shadow: int = struct.field(pytree_node=False, default=0)
 
     @property
     def capacity(self) -> int:
-        return self.k.shape[3]
+        return self.k.shape[3] - self.shadow
 
     @property
     def n_layers(self) -> int:
@@ -57,14 +65,14 @@ class KVCache:
     @classmethod
     def create(cls, n_layers: int, batch_size: int, capacity: int,
                n_heads: int, head_dim: int, tokens_per_frame: int = 1,
-               dtype=jnp.bfloat16) -> "KVCache":
-        shape = (n_layers, batch_size, n_heads, capacity, head_dim)
+               dtype=jnp.bfloat16, shadow: int = 0) -> "KVCache":
+        shape = (n_layers, batch_size, n_heads, capacity + shadow, head_dim)
         zero = jnp.zeros((), dtype=jnp.int32)
         return cls(
             k=jnp.zeros(shape, dtype=dtype),
             v=jnp.zeros(shape, dtype=dtype),
             start=zero, length=zero, rope_offset=zero,
-            tokens_per_frame=tokens_per_frame,
+            tokens_per_frame=tokens_per_frame, shadow=shadow,
         )
 
     @classmethod
@@ -76,21 +84,29 @@ class KVCache:
         reference: configs/av_v4_8x8.yml:11)."""
         tpf = config.tokens_per_frame
         frames = capacity_frames if capacity_frames is not None else config.n_frames
+        capacity = frames * tpf
+        local_w = config.get("local_window")
+        shadow = 0
+        if local_w is not None and 0 < local_w * tpf < capacity:
+            shadow = local_w * tpf  # contiguous trailing-window reads
         return cls.create(
             n_layers=config.n_layers,
             batch_size=batch_size,
-            capacity=frames * tpf,
+            capacity=capacity,
             n_heads=config.n_heads,
             head_dim=config.d_model // config.n_heads,
             tokens_per_frame=tpf,
-            dtype=dtype,
+            dtype=dtype, shadow=shadow,
         )
 
     # ------------------------------------------------------------- queries
     def slot_rel_idx(self) -> jnp.ndarray:
-        """[S] int32 — insertion-order index per slot (>= length ⇒ invalid)."""
-        slots = jnp.arange(self.capacity, dtype=jnp.int32)
-        return jnp.mod(slots - self.start, self.capacity)
+        """[alloc] int32 — insertion-order index per slot (>= length ⇒
+        invalid; shadow slots are always marked invalid)."""
+        S = self.capacity
+        slots = jnp.arange(S + self.shadow, dtype=jnp.int32)
+        rel = jnp.mod(slots - self.start, S)
+        return jnp.where(slots < S, rel, S)  # shadow slots: rel=S >= length
 
     def write_positions(self, t: int) -> jnp.ndarray:
         """RoPE positions for t new tokens (reference rope offset semantics)."""
@@ -125,6 +141,18 @@ class KVCache:
             v = jax.lax.dynamic_update_slice(
                 self.v, new_v[None].astype(self.v.dtype),
                 (layer_idx, 0, 0, pos, 0))
+            if self.shadow and t == self.tokens_per_frame:
+                # maintain the wrap mirror: single-frame writes landing in
+                # [0, shadow) are duplicated at [S, S + shadow); writes
+                # elsewhere harmlessly rewrite themselves
+                mirror = jnp.where(pos < self.shadow,
+                                   self.capacity + pos, pos)
+                k = jax.lax.dynamic_update_slice(
+                    k, new_k[None].astype(k.dtype),
+                    (layer_idx, 0, 0, mirror, 0))
+                v = jax.lax.dynamic_update_slice(
+                    v, new_v[None].astype(v.dtype),
+                    (layer_idx, 0, 0, mirror, 0))
             return self.replace(k=k, v=v)
 
         slots = jnp.mod(self.start + self.length + jnp.arange(t, dtype=jnp.int32),
