@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from ..nn.kv_cache import KVCache
-from .schedulers import resolve_schedule
+from .schedulers import resolve_schedule, scan_or_unroll
 from .common import zlerp, JitCache
 
 
@@ -87,7 +87,7 @@ class AudioCachingSampler:
                 return (new.astype(cur.dtype),
                         (t.astype(jnp.float32) - dt_i).astype(t.dtype)), None
 
-            (cur, t), _ = jax.lax.scan(denoise, (cur, t), dt)
+            (cur, t) = scan_or_unroll(denoise, (cur, t), dt)
 
             noisy = zlerp(r_renoise, cur, self.noise_prev)
             t_noisy = jnp.full_like(t, self.noise_prev)

@@ -40,3 +40,23 @@ def resolve_schedule(n_steps: int, custom_schedule=None) -> jnp.ndarray:
     if custom_schedule is not None:
         return get_deltas(custom_schedule)
     return get_sd3_euler(n_steps)
+
+
+UNROLL_MAX = 4  # unroll tiny denoise loops (lax.scan overhead measured
+                # ~11 ms/frame at dit_v4 scale, scripts/tpu_sampler_bisect2.py)
+
+
+def scan_or_unroll(body, init, dt: jnp.ndarray):
+    """Run ``body(state, dt_i) -> (state, None)`` over the (static) schedule;
+    python-unrolled when short, lax.scan otherwise."""
+    import jax
+    import numpy as np
+    n = int(dt.shape[0])
+    if n <= UNROLL_MAX:
+        state = init
+        dts = np.asarray(dt)
+        for i in range(n):
+            state, _ = body(state, jnp.float32(float(dts[i])))
+        return state
+    state, _ = jax.lax.scan(body, init, dt)
+    return state
