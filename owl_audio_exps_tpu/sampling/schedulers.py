@@ -14,12 +14,14 @@ import numpy as np
 import jax.numpy as jnp
 
 
-def get_sd3_euler(n_steps: int, shift: float = 3.0) -> jnp.ndarray:
+def get_sd3_euler(n_steps: int, shift: float = 3.0) -> np.ndarray:
+    """Returns the schedule as NUMPY (it is static): safe to close over
+    scans and to unroll."""
     sigmas = np.arange(n_steps, 0, -1, dtype=np.float64) / n_steps
     ts = shift * sigmas / (1.0 + (shift - 1.0) * sigmas)
     ts = np.concatenate([ts, [0.0]])
     dt = ts[:-1] - ts[1:]
-    return jnp.asarray(dt, dtype=jnp.float32)
+    return dt.astype(np.float32)
 
 
 def get_deltas(custom_schedule) -> jnp.ndarray:
@@ -33,10 +35,10 @@ def get_deltas(custom_schedule) -> jnp.ndarray:
     for nxt in sched[1:]:
         deltas.append(abs(nxt - crnt))
         crnt = nxt
-    return jnp.asarray(deltas, dtype=jnp.float32)
+    return np.asarray(deltas, dtype=np.float32)
 
 
-def resolve_schedule(n_steps: int, custom_schedule=None) -> jnp.ndarray:
+def resolve_schedule(n_steps: int, custom_schedule=None) -> np.ndarray:
     if custom_schedule is not None:
         return get_deltas(custom_schedule)
     return get_sd3_euler(n_steps)
@@ -46,17 +48,15 @@ UNROLL_MAX = 4  # unroll tiny denoise loops (lax.scan overhead measured
                 # ~11 ms/frame at dit_v4 scale, scripts/tpu_sampler_bisect2.py)
 
 
-def scan_or_unroll(body, init, dt: jnp.ndarray):
-    """Run ``body(state, dt_i) -> (state, None)`` over the (static) schedule;
-    python-unrolled when short, lax.scan otherwise."""
+def scan_or_unroll(body, init, dt: np.ndarray):
+    """Run ``body(state, dt_i) -> (state, None)`` over the (static numpy)
+    schedule; python-unrolled when short, lax.scan otherwise."""
     import jax
-    import numpy as np
     n = int(dt.shape[0])
     if n <= UNROLL_MAX:
         state = init
-        dts = np.asarray(dt)
         for i in range(n):
-            state, _ = body(state, jnp.float32(float(dts[i])))
+            state, _ = body(state, jnp.float32(float(dt[i])))
         return state
-    state, _ = jax.lax.scan(body, init, dt)
+    state, _ = jax.lax.scan(body, init, jnp.asarray(dt))
     return state
