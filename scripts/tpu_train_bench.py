@@ -1,0 +1,56 @@
+"""dit_v4-scale training-step benchmark (splash attention, remat)."""
+import sys, pathlib, os, time
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/jax_tpu_cache")
+import numpy as np
+import jax, jax.numpy as jnp, optax
+jax.config.update("jax_compilation_cache_dir", "/root/jax_tpu_cache")
+from owl_audio_exps_tpu.configs import transformer_config
+from owl_audio_exps_tpu.models.gamerft import GameRFT
+from owl_audio_exps_tpu.utils.mfu import MFUProfiler
+
+N_FRAMES = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+B = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+
+cfg = transformer_config(
+    model_id="game_rft", sample_size=8, channels=128, n_layers=16,
+    n_heads=24, d_model=1536, tokens_per_frame=64, n_buttons=11,
+    cfg_prob=0.1, n_frames=max(N_FRAMES, 256), causal=True, uncond=False,
+    backbone="dit", has_audio=False, rope_impl="motion",
+    local_window=16, global_window=None, gradient_checkpointing=True)
+model = GameRFT(cfg, dtype=jnp.bfloat16)
+rs = np.random.RandomState(0)
+x = jnp.asarray(rs.randn(B, N_FRAMES, 128, 8, 8), jnp.bfloat16)
+mouse = jnp.asarray(rs.randn(B, N_FRAMES, 2), jnp.bfloat16)
+btn = jnp.asarray(rs.rand(B, N_FRAMES, 11) > 0.5, jnp.bfloat16)
+params = model.init({"params": jax.random.key(0), "noise": jax.random.key(1)},
+                    x, mouse, btn)["params"]
+tx = optax.adamw(1e-4)
+opt = tx.init(params)
+
+def loss_fn(p, rng):
+    return model.apply({"params": p}, x, mouse, btn,
+                       rngs={"noise": rng})
+
+@jax.jit
+def step(p, o, rng):
+    loss, g = jax.value_and_grad(loss_fn)(p, rng)
+    up, o = tx.update(g, o, p)
+    return optax.apply_updates(p, up), o, loss
+
+t0 = time.perf_counter()
+params, opt, loss = step(params, opt, jax.random.key(2))
+jax.block_until_ready(loss)
+print("compile+first %.1fs, loss=%.4f" % (time.perf_counter()-t0, float(loss)))
+times = []
+for i in range(3):
+    t0 = time.perf_counter()
+    params, opt, loss = step(params, opt, jax.random.key(3+i))
+    jax.block_until_ready(loss)
+    times.append(time.perf_counter()-t0)
+wall = float(np.median(times))
+tokens = B * N_FRAMES * 64
+prof = MFUProfiler(cfg, batch_tokens=tokens, seq_len=N_FRAMES*64, training=True)
+tflops = prof.flops_per_step / wall / 1e12
+print("frames=%d batch=%d: %.3f s/step, %.0f tokens/s, %.1f TFLOP/s, MFU=%.1f%%"
+      % (N_FRAMES, B, wall, tokens/wall, tflops, 100*tflops/197.0))
