@@ -44,8 +44,11 @@ def resolve_schedule(n_steps: int, custom_schedule=None) -> np.ndarray:
     return get_sd3_euler(n_steps)
 
 
-UNROLL_MAX = 4  # unroll tiny denoise loops (lax.scan overhead measured
-                # ~11 ms/frame at dit_v4 scale, scripts/tpu_sampler_bisect2.py)
+import os
+
+# unroll tiny denoise loops (lax.scan overhead measured ~11 ms/frame at
+# dit_v4 scale, scripts/tpu_sampler_bisect2.py); env-overridable for A/B
+UNROLL_MAX = int(os.environ.get("OWL_UNROLL_MAX", "4"))
 
 
 def scan_or_unroll(body, init, dt: np.ndarray):
