@@ -106,7 +106,9 @@ class AVCachingSamplerV2:
                 return (new.astype(cur.dtype),
                         (t.astype(jnp.float32) - dt_i).astype(t.dtype)), None
 
-            (cur, t) = scan_or_unroll(denoise, (cur, t), dt)
+            (cur, t) = scan_or_unroll(
+                denoise, (cur, t), dt,
+                unroll=core.config.tokens_per_frame > 1)
 
             noisy = zlerp(r_renoise, cur, self.noise_prev)
             t_noisy = jnp.full_like(t, self.noise_prev)
@@ -180,7 +182,9 @@ class AVCachingSampler:
                 return (new.astype(cur.dtype),
                         (t.astype(jnp.float32) - dt_i).astype(t.dtype)), None
 
-            (cur, t) = scan_or_unroll(denoise, (cur, t), dt)
+            (cur, t) = scan_or_unroll(
+                denoise, (cur, t), dt,
+                unroll=core.config.tokens_per_frame > 1)
 
             noisy = zlerp(r_renoise, cur, self.noise_prev)
             t_noisy = jnp.full_like(t, self.noise_prev)

@@ -51,12 +51,15 @@ import os
 UNROLL_MAX = int(os.environ.get("OWL_UNROLL_MAX", "4"))
 
 
-def scan_or_unroll(body, init, dt: np.ndarray):
+def scan_or_unroll(body, init, dt: np.ndarray, unroll: bool = True):
     """Run ``body(state, dt_i) -> (state, None)`` over the (static numpy)
-    schedule; python-unrolled when short, lax.scan otherwise."""
+    schedule; python-unrolled when short AND ``unroll``, lax.scan otherwise.
+    Measured on v5e: unrolling wins ~11 ms/frame for many-token frames
+    (dit_v4) but loses ~25% for single-token (audio) decode — callers gate
+    on tokens_per_frame."""
     import jax
     n = int(dt.shape[0])
-    if n <= UNROLL_MAX:
+    if unroll and n <= UNROLL_MAX:
         state = init
         for i in range(n):
             state, _ = body(state, jnp.float32(float(dt[i])))
