@@ -332,9 +332,11 @@ class DiT(nn.Module):
             local_mask, global_mask = build_masks(
                 cfg, x.shape[1], doc_id, kv_cache, decoding)
 
-        use_remat = (not deterministic) and cfg.get("gradient_checkpointing", False)
+        # remat whenever configured and uncached: free in fwd-only calls
+        # (nothing recomputes without a backward pass), essential for long-
+        # context training memory (reference: owl_wms/nn/attn.py:187-188)
         block_cls = DiTBlock
-        if use_remat and kv_cache is None:
+        if cfg.get("gradient_checkpointing", False) and kv_cache is None:
             block_cls = nn.remat(DiTBlock, static_argnums=(5, 6, 8))
 
         for idx, local in enumerate(flags):
