@@ -148,9 +148,13 @@ class MMDiT(nn.Module):
         y = Linear(d * 12, dtype=self.dtype, name="cond_proj")(y)
         cond0, cond1 = jnp.split(y, 2, axis=-1)  # [b, n, 6d] each
 
+        block_cls = MMDiTBlock
+        if cfg.get("gradient_checkpointing", False) and kv_cache is None:
+            block_cls = nn.remat(MMDiTBlock, static_argnums=(6, 7, 8))
+
         for idx, local in enumerate(flags):
             mask = local_mask if local else global_mask
-            (x0, x1), kv_cache = MMDiTBlock(
+            (x0, x1), kv_cache = block_cls(
                 cfg, idx, local, dtype=self.dtype, name=f"blocks_{idx}")(
                 x0, x1, cond0, cond1, mask, kv_cache, write, splash,
                 decoding)
