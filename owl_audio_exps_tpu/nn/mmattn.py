@@ -150,7 +150,7 @@ class MMDiT(nn.Module):
 
         block_cls = MMDiTBlock
         if cfg.get("gradient_checkpointing", False) and kv_cache is None:
-            block_cls = nn.remat(MMDiTBlock, static_argnums=(6, 7, 8))
+            block_cls = nn.remat(MMDiTBlock, static_argnums=(7, 8, 9))
 
         for idx, local in enumerate(flags):
             mask = local_mask if local else global_mask

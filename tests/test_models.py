@@ -195,3 +195,27 @@ def test_drop_newest_keeps_rope_offset():
     assert int(cache.length) == 3
     # reference semantics: offsets NOT rewound by truncate
     assert int(cache.rope_offset) == 4
+
+
+def test_gradient_checkpointing_grads():
+    """remat active (gradient_checkpointing=True) must give finite grads
+    through both DiT and MMDiT stacks."""
+    from owl_audio_exps_tpu.models.gamerft_audio import GameRFTAudio
+    for backbone in ("dit", "mmdit"):
+        cfg = av_cfg(backbone=backbone, gradient_checkpointing=True)
+        model = GameRFTAudio(cfg, dtype=F32)
+        rs = np.random.RandomState(0)
+        x = jnp.asarray(rs.randn(1, 4, 4, 2, 2), F32)
+        a = jnp.asarray(rs.randn(1, 4, 4), F32)
+        m = jnp.asarray(rs.randn(1, 4, 2), F32)
+        b = jnp.asarray(rs.rand(1, 4, 3) > 0.5, F32)
+        params = model.init({"params": jax.random.key(0),
+                             "noise": jax.random.key(1)}, x, a, m, b)
+
+        def loss(p):
+            l, _, _ = model.apply(p, x, a, m, b,
+                                  rngs={"noise": jax.random.key(2)})
+            return l
+
+        g = jax.jit(jax.grad(loss))(params)
+        assert np.isfinite(float(jax.tree.leaves(g)[0].sum()))
