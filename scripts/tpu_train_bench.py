@@ -3,6 +3,7 @@ import sys, pathlib, os, time
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/jax_tpu_cache")
 import numpy as np
+from functools import partial
 import jax, jax.numpy as jnp, optax
 jax.config.update("jax_compilation_cache_dir", "/root/jax_tpu_cache")
 from owl_audio_exps_tpu.configs import transformer_config
@@ -32,7 +33,7 @@ def loss_fn(p, rng):
     return model.apply({"params": p}, x, mouse, btn,
                        rngs={"noise": rng})
 
-@jax.jit
+@partial(jax.jit, donate_argnums=(0, 1))
 def step(p, o, rng):
     loss, g = jax.value_and_grad(loss_fn)(p, rng)
     up, o = tx.update(g, o, p)
