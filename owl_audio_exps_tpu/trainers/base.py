@@ -221,7 +221,8 @@ class BaseTrainer:
         }
         if extra:
             payload.update(extra)
-        save_checkpoint(self.ckpt_path(step), payload)
+        # async save: training resumes while orbax writes in the background
+        save_checkpoint(self.ckpt_path(step), payload, wait=False)
         out = self.train_cfg.get("output_path")
         if out:
             save_clean_export(out, state.ema_params)

@@ -165,6 +165,8 @@ class RFTFamilyTrainer(BaseTrainer):
 
             if self.total_step_counter % self.train_cfg.save_interval == 0:
                 self.save(state)
+        from ..utils.checkpoints import wait_for_checkpoints
+        wait_for_checkpoints()
         return state
 
     def _wrapped_loss(self, params, batch, rng):

@@ -16,16 +16,32 @@ from typing import Any, Dict, Optional
 import orbax.checkpoint as ocp
 
 
+_SHARED_CKPTR = None
+
+
 def _ckptr() -> ocp.StandardCheckpointer:
-    return ocp.StandardCheckpointer()
+    global _SHARED_CKPTR
+    if _SHARED_CKPTR is None:
+        _SHARED_CKPTR = ocp.StandardCheckpointer()
+    return _SHARED_CKPTR
 
 
-def save_checkpoint(path: str, state: Dict[str, Any]) -> None:
-    """state: {'params', 'ema_params', 'opt_state', 'step', ...} pytrees."""
+def save_checkpoint(path: str, state: Dict[str, Any],
+                    wait: bool = True) -> None:
+    """state: {'params', 'ema_params', 'opt_state', 'step', ...} pytrees.
+    With ``wait=False`` the save is asynchronous (orbax background thread);
+    call ``wait_for_checkpoints()`` before exiting."""
     path = os.path.abspath(path)
     ckptr = _ckptr()
+    ckptr.wait_until_finished()  # at most one async save in flight
     ckptr.save(path, state, force=True)
-    ckptr.wait_until_finished()
+    if wait:
+        ckptr.wait_until_finished()
+
+
+def wait_for_checkpoints() -> None:
+    if _SHARED_CKPTR is not None:
+        _SHARED_CKPTR.wait_until_finished()
 
 
 def load_checkpoint(path: str, template: Optional[Dict[str, Any]] = None
