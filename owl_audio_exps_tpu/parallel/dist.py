@@ -46,3 +46,14 @@ def process_count() -> int:
 def cleanup():
     """Parity with reference cleanup() (ddp.py:26-28); jax needs nothing."""
     pass
+
+
+def broadcast_from_main(tree):
+    """Broadcast a pytree from process 0 to all processes — the analogue of
+    the reference's dist.broadcast(buf, 0) buffer sync
+    (owl_wms/trainers/rft_trainer.py:126-137) and rollout_frames broadcast
+    (sf_vid_only.py:139-142). No-op on a single process."""
+    if jax.process_count() == 1:
+        return tree
+    from jax.experimental import multihost_utils
+    return multihost_utils.broadcast_one_to_all(tree)
