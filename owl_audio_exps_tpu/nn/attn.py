@@ -58,7 +58,7 @@ def use_splash_path(config, q_len: int, kv_cache, decoding: bool) -> bool:
     if impl == "splash":
         return True
     from ..ops.splash import splash_available
-    return splash_available() and q_len >= 1024
+    return splash_available(q_len) and q_len >= 1024
 
 
 def use_flash_decode(config, is_local: bool, q_len: int, kv_cache,

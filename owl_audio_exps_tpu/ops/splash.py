@@ -76,13 +76,23 @@ class FrameMask(splash_mask._ComputableMask):
                      self.window, self.causal))
 
 
-def _block_sizes(seq_len: int) -> splash_kernel.BlockSizes:
-    bq = min(512, max(128, seq_len))
-    bkv = min(1024, max(128, seq_len))
+def largest_divisor_block(seq_len: int, cap: int = 512) -> int:
+    """Largest block size <= cap dividing seq_len (splash requires block
+    sizes to divide the sequence; frame-interleaved lengths like 16*65
+    aren't powers of two)."""
+    for b in range(min(cap, seq_len), 0, -1):
+        if seq_len % b == 0:
+            return b
+    return seq_len
+
+
+def _block_sizes(q_len: int, kv_len: int) -> splash_kernel.BlockSizes:
+    bq = largest_divisor_block(q_len)
+    bkv = largest_divisor_block(kv_len)
     return splash_kernel.BlockSizes(
-        block_q=bq, block_kv=bkv, block_kv_compute=min(512, bkv),
+        block_q=bq, block_kv=bkv, block_kv_compute=bkv,
         block_q_dkv=bq, block_kv_dkv=bkv,
-        block_kv_dkv_compute=min(512, bkv),
+        block_kv_dkv_compute=bkv,
         block_q_dq=bq, block_kv_dq=bkv,
     )
 
@@ -99,7 +109,7 @@ def _make_kernel(n_heads: int, q_len: int, kv_len: int,
     # shared across traces)
     with jax.ensure_compile_time_eval():
         return splash_kernel.make_splash_mha_single_device(
-            mask=mask, block_sizes=_block_sizes(q_len))
+            mask=mask, block_sizes=_block_sizes(q_len, kv_len))
 
 
 def splash_attention(
@@ -130,8 +140,12 @@ def splash_attention(
     return out.astype(q.dtype)
 
 
-def splash_available() -> bool:
+def splash_available(q_len: int = None) -> bool:
     try:
-        return jax.devices()[0].platform == "tpu"
+        if jax.devices()[0].platform != "tpu":
+            return False
     except Exception:
         return False
+    if q_len is not None and largest_divisor_block(q_len) < 128:
+        return False  # degenerate block sizes — dense wins
+    return True
