@@ -77,13 +77,15 @@ class FrameMask(splash_mask._ComputableMask):
 
 
 def largest_divisor_block(seq_len: int, cap: int = 512) -> int:
-    """Largest block size <= cap dividing seq_len (splash requires block
-    sizes to divide the sequence; frame-interleaved lengths like 16*65
-    aren't powers of two)."""
-    for b in range(min(cap, seq_len), 0, -1):
+    """Largest block size <= cap that divides seq_len AND is a multiple of
+    128 (both are hard splash constraints). Returns 0 when none exists —
+    e.g. frame-interleaved lengths like 16*65 — in which case the dense
+    path is used."""
+    start = (min(cap, seq_len) // 128) * 128
+    for b in range(start, 0, -128):
         if seq_len % b == 0:
             return b
-    return seq_len
+    return 0
 
 
 def _block_sizes(q_len: int, kv_len: int) -> splash_kernel.BlockSizes:
@@ -146,6 +148,6 @@ def splash_available(q_len: int = None) -> bool:
             return False
     except Exception:
         return False
-    if q_len is not None and largest_divisor_block(q_len) < 128:
-        return False  # degenerate block sizes — dense wins
+    if q_len is not None and largest_divisor_block(q_len) == 0:
+        return False  # no legal block size — dense path
     return True
