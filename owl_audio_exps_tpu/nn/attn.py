@@ -153,7 +153,10 @@ def cached_attention(cfg, layer_idx: int, local: bool, dtype,
     """Shared attention core over the ring cache (used by Attn and MMAttn).
 
     q/k/v: [B, H, L, Dh], already QK-normed and rotated. Returns
-    (attn_out [B, H, L, Dh], new_cache). Path selection:
+    (attn_out [B, H, L, Dh], kv_write) where kv_write is (k, v) to be
+    written for this layer when ``write`` (the backbone batches ALL
+    layers' writes into one fused cache update — per-layer updates defeat
+    XLA in-place aliasing on large carried caches). Path selection:
       * splash Pallas kernel for long un-cached sequences (training);
       * flash-decode Pallas kernel for decode-mode global layers;
       * O(window) ring gather for decode-mode local layers;
@@ -161,11 +164,8 @@ def cached_attention(cfg, layer_idx: int, local: bool, dtype,
     """
     tpf = tokens_per_frame or cfg.tokens_per_frame
     L = q.shape[2]
-    new_cache = kv_cache
+    kv_write = (k, v) if (kv_cache is not None and write) else None
     if kv_cache is not None:
-        if write:
-            new_cache = kv_cache.update_layer(layer_idx, k, v)
-
         if use_flash_decode(cfg, local, L, kv_cache, decoding):
             from ..ops.flash_decode import flash_decode
             ck, cv = kv_cache.read_layer(layer_idx)
@@ -183,7 +183,7 @@ def cached_attention(cfg, layer_idx: int, local: bool, dtype,
                 q.astype(dtype), ck.astype(dtype), cv.astype(dtype),
                 k.astype(dtype), v.astype(dtype),
                 kv_cache.start, kv_cache.length, block_k=block_k)
-            return out, new_cache
+            return out, kv_write
 
         local_w = cfg.get("local_window")
         if mask is None and local and can_local_gather(cfg, L, kv_cache):
@@ -226,7 +226,7 @@ def cached_attention(cfg, layer_idx: int, local: bool, dtype,
     else:
         out = dot_attention(q.astype(dtype), k.astype(dtype),
                             v.astype(dtype), mask)
-    return out, new_cache
+    return out, kv_write
 
 
 class Attn(nn.Module):
@@ -269,12 +269,12 @@ class Attn(nn.Module):
         q = rope(q, positions)
         k = rope(k, positions)
 
-        out, new_cache = cached_attention(
+        out, kv_write = cached_attention(
             cfg, self.layer_idx, self.local, self.dtype,
             q, k, v, mask, kv_cache, write, splash, decoding, doc_id)
         out = jnp.transpose(out, (0, 2, 1, 3)).reshape(B, L, cfg.d_model)
         out = Linear(cfg.d_model, dtype=self.dtype, name="out")(out)
-        return out, new_cache
+        return out, kv_write
 
 
 class DiTBlock(nn.Module):
@@ -290,7 +290,7 @@ class DiTBlock(nn.Module):
     def __call__(self, x, cond, mask, kv_cache=None, write: bool = False,
                  splash: bool = False, doc_id=None, decoding: bool = False):
         d = self.config.d_model
-        h, kv_cache = Attn(self.config, self.layer_idx, self.local,
+        h, kv_write = Attn(self.config, self.layer_idx, self.local,
                            dtype=self.dtype, name="attn")(
             AdaLN(d, dtype=self.dtype, name="adaln1")(x, cond),
             mask, kv_cache, write, splash, doc_id, decoding)
@@ -299,7 +299,7 @@ class DiTBlock(nn.Module):
         h = MLP(d, dtype=self.dtype, name="mlp")(
             AdaLN(d, dtype=self.dtype, name="adaln2")(x, cond))
         x = x + Gate(d, dtype=self.dtype, name="gate2")(h, cond)
-        return x, kv_cache
+        return x, kv_write
 
 
 def local_layer_flags(config):
@@ -339,13 +339,19 @@ class DiT(nn.Module):
         if cfg.get("gradient_checkpointing", False) and kv_cache is None:
             block_cls = nn.remat(DiTBlock, static_argnums=(5, 6, 8))
 
+        writes = []
         for idx, local in enumerate(flags):
             mask = local_mask if local else global_mask
-            x, kv_cache = block_cls(
+            x, kv_write = block_cls(
                 cfg, idx, local, dtype=self.dtype, name=f"blocks_{idx}")(
                 x, cond, mask, kv_cache, write, splash, doc_id, decoding)
+            if kv_write is not None:
+                writes.append(kv_write)
         if kv_cache is not None and write:
-            # all layers wrote the same token count; commit counters once
+            # one fused all-layer cache write + counter commit
+            kv_cache = kv_cache.update_all(
+                jnp.stack([k for k, _ in writes]),
+                jnp.stack([v for _, v in writes]))
             kv_cache = kv_cache.advance(x.shape[1])
         return x, kv_cache
 
@@ -386,25 +392,32 @@ class UViT(nn.Module):
         n_blocks = cfg.n_layers
         mid = n_blocks // 2
 
-        early = []
-        for i in range(mid):
-            x, kv_cache = DiTBlock(cfg, i, False, dtype=self.dtype,
+        writes = []
+
+        def run_block(i, x):
+            x, kv_write = DiTBlock(cfg, i, False, dtype=self.dtype,
                                    name=f"blocks_{i}")(
                 x, cond, global_mask, kv_cache, write)
+            if kv_write is not None:
+                writes.append(kv_write)
+            return x
+
+        early = []
+        for i in range(mid):
+            x = run_block(i, x)
             early.append(x)
 
-        x, kv_cache = DiTBlock(cfg, mid, False, dtype=self.dtype,
-                               name=f"blocks_{mid}")(
-            x, cond, global_mask, kv_cache, write)
+        x = run_block(mid, x)
 
         for i in range(mid + 1, n_blocks):
             early_feat = early[n_blocks - 1 - i]
             skip_idx = i - (mid + 1)
             x = SkipConnection(cfg, dtype=self.dtype,
                                name=f"skip_projs_{skip_idx}")(x, early_feat, cond)
-            x, kv_cache = DiTBlock(cfg, i, False, dtype=self.dtype,
-                                   name=f"blocks_{i}")(
-                x, cond, global_mask, kv_cache, write)
+            x = run_block(i, x)
         if kv_cache is not None and write:
+            kv_cache = kv_cache.update_all(
+                jnp.stack([k for k, _ in writes]),
+                jnp.stack([v for _, v in writes]))
             kv_cache = kv_cache.advance(x.shape[1])
         return x, kv_cache

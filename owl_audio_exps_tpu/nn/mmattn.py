@@ -73,7 +73,7 @@ class MMAttn(nn.Module):
         q = rope(q, positions)
         k = rope(k, positions)
 
-        out, new_cache = cached_attention(
+        out, kv_write = cached_attention(
             cfg, self.layer_idx, self.local, self.dtype,
             q, k, v, mask, kv_cache, write, splash, decoding,
             tokens_per_frame=tpf)
@@ -84,7 +84,7 @@ class MMAttn(nn.Module):
 
         y0 = Linear(cfg.d_model, dtype=self.dtype, name="out_0")(y0)
         y1 = Linear(cfg.d_model, dtype=self.dtype, name="out_1")(y1)
-        return (y0, y1), new_cache
+        return (y0, y1), kv_write
 
 
 class MMDiTBlock(nn.Module):
@@ -107,7 +107,7 @@ class MMDiTBlock(nn.Module):
         r0, r1 = x0, x1
         h0 = cond_adaln(x0, a_s0, a_b0)
         h1 = cond_adaln(x1, a_s1, a_b1)
-        (h0, h1), kv_cache = MMAttn(self.config, self.layer_idx, self.local,
+        (h0, h1), kv_write = MMAttn(self.config, self.layer_idx, self.local,
                                     dtype=self.dtype, name="attn")(
             h0, h1, mask, kv_cache, write, splash, decoding)
         x0 = r0 + cond_gate(h0, a_g0)
@@ -118,7 +118,7 @@ class MMDiTBlock(nn.Module):
         h1 = MLP(d, dtype=self.dtype, name="mlps_1")(cond_adaln(x1, m_s1, m_b1))
         x0 = r0 + cond_gate(h0, m_g0)
         x1 = r1 + cond_gate(h1, m_g1)
-        return (x0, x1), kv_cache
+        return (x0, x1), kv_write
 
 
 class MMDiT(nn.Module):
@@ -152,13 +152,19 @@ class MMDiT(nn.Module):
         if cfg.get("gradient_checkpointing", False) and kv_cache is None:
             block_cls = nn.remat(MMDiTBlock, static_argnums=(7, 8, 9))
 
+        writes = []
         for idx, local in enumerate(flags):
             mask = local_mask if local else global_mask
-            (x0, x1), kv_cache = block_cls(
+            (x0, x1), kv_write = block_cls(
                 cfg, idx, local, dtype=self.dtype, name=f"blocks_{idx}")(
                 x0, x1, cond0, cond1, mask, kv_cache, write, splash,
                 decoding)
+            if kv_write is not None:
+                writes.append(kv_write)
 
         if kv_cache is not None and write:
+            kv_cache = kv_cache.update_all(
+                jnp.stack([k for k, _ in writes]),
+                jnp.stack([v for _, v in writes]))
             kv_cache = kv_cache.advance(L)
         return (x0, x1), kv_cache

@@ -9,7 +9,9 @@ from owl_audio_exps_tpu.configs import transformer_config
 from owl_audio_exps_tpu.models.gamerft import GameRFTCore
 from owl_audio_exps_tpu.nn.kv_cache import KVCache
 
-CAP, N_GEN = 120, 16
+import sys as _s
+CAP = int(_s.argv[1]) if len(_s.argv)>1 else 120
+N_GEN = 8
 def mkcfg(**kw):
     base = dict(model_id="game_rft", sample_size=8, channels=128, n_layers=16,
         n_heads=24, d_model=1536, tokens_per_frame=64, n_buttons=11,
@@ -53,8 +55,6 @@ def run(name, cfg, write, decoding=True):
     dt = time.perf_counter()-t0
     print("%-40s %.1f ms total, %.2f ms/forward" % (name, 1e3*dt, 1e3*dt/N_GEN))
 
-run("A write+decode (flash+gather)", mkcfg(), write=True)
-run("B decode (flash+gather)", mkcfg(), write=False)
-run("C decode dense-global+gather", mkcfg(decode_impl="dense"), write=False)
-run("D decode dense, no local win", mkcfg(decode_impl="dense", local_window=None), write=False)
-run("E decode flash, no local win", mkcfg(local_window=None), write=False)
+run("A write+decode (default)", mkcfg(), write=True)
+run("B decode (default impls)", mkcfg(), write=False)
+run("C decode dense-global", mkcfg(decode_impl="dense"), write=False)
