@@ -34,12 +34,15 @@ def device_prefetch(iterator: Iterator, sharding=None, size: int = 2,
 
         return jax.tree.map(to_dev, batch)
 
+    sentinel = object()
+
     def worker():
         try:
             for batch in iterator:
                 if stop.is_set():
                     return
                 q.put(put(batch))
+            q.put(sentinel)  # normal exhaustion
         except Exception as e:  # surface errors to the consumer
             q.put(e)
 
@@ -49,6 +52,8 @@ def device_prefetch(iterator: Iterator, sharding=None, size: int = 2,
     try:
         while True:
             item = q.get()
+            if item is sentinel:
+                return
             if isinstance(item, Exception):
                 raise item
             yield item
