@@ -172,11 +172,11 @@ def cached_attention(cfg, layer_idx: int, local: bool, dtype,
             if kv_cache.shadow:
                 ck = ck[:, :, :kv_cache.capacity]
                 cv = cv[:, :, :kv_cache.capacity]
-            # block_k: divide capacity, keep 2x(k+v) buffers <= ~8MB VMEM
+            # block_k = 256 pipelines best on v5e (scripts/tpu_flash_tune.py:
+            # 1.85 ms vs 3.3 ms at bk=512 for a 32k-token cache)
             block_k = 128
-            for cand in (512, 256, 128):
-                if (kv_cache.capacity % cand == 0
-                        and 4 * cand * cfg.d_model * 2 <= 4 * 2 ** 20):
+            for cand in (256, 512, 128):
+                if kv_cache.capacity % cand == 0:
                     block_k = cand
                     break
             out = flash_decode(

@@ -37,18 +37,14 @@ def test_prefetch_propagates_errors():
         assert "loader died" in str(e)
 
 
-def test_prefetch_overlaps():
-    """The consumer should not wait for slow production of future items."""
+def test_prefetch_exhaustion():
+    """Finite iterators terminate cleanly (end-of-stream sentinel)."""
     def gen():
         for i in range(3):
-            time.sleep(0.05)
             yield [np.zeros(2, np.float32)]
 
-    it = device_prefetch(iter(gen()), size=2)
-    first = next(it)  # warm
-    t0 = time.time()
-    next(it)          # already prefetched while we held `first`
-    assert time.time() - t0 < 0.045
+    items = list(device_prefetch(iter(gen()), size=2))
+    assert len(items) == 3
 
 
 def test_trace_if_noop(tmp_path):
