@@ -35,9 +35,14 @@ def main():
     ap.add_argument("--tol", type=float, default=5e-2)
     ap.add_argument("--n_steps", type=int, default=4)
     ap.add_argument("--n_frames", type=int, default=4)
+    ap.add_argument("--platform", default=None,
+                    help="force jax platform (e.g. cpu); the environment "
+                         "pins the TPU plugin otherwise")
     args = ap.parse_args()
 
     import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     import jax.numpy as jnp
     from owl_audio_exps_tpu.configs import Config
     from owl_audio_exps_tpu.models import get_core_cls
