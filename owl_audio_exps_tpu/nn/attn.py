@@ -39,12 +39,6 @@ from .layers import MLP, AdaLN, Gate, Linear
 from .kv_cache import KVCache
 
 
-def effective_tokens_per_frame(config) -> int:
-    """Tokens per frame as seen by the attention stream: video tokens plus
-    the appended per-frame audio token when present."""
-    return config.tokens_per_frame
-
-
 def use_splash_path(config, q_len: int, kv_cache, decoding: bool) -> bool:
     """Route self-attention through the splash Pallas kernel on TPU for
     long sequences (training / full-window forwards). Cached decode uses

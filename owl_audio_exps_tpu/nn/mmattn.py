@@ -20,7 +20,6 @@ from typing import Optional
 import jax.numpy as jnp
 import flax.linen as nn
 
-from ..ops.attention import dot_attention
 from ..ops.norms import rms_norm
 from ..ops.rope import rope_table_for
 from .layers import MLP, Linear, cond_adaln, cond_gate
