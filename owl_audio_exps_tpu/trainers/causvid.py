@@ -193,6 +193,36 @@ class CausVidTrainer(DistillTrainerBase):
                 jax.jit(student_step, donate_argnums=(0,)))
 
     # --------------------------------------------------------------- loop
+    def eval_step(self, state: DistillState):
+        """Sample with the student EMA via the configured sampler
+        (reference: causvid_vid_only.py:560-641 eval_step)."""
+        if not self.train_cfg.sampler_id:
+            return {}
+        from ..sampling import get_sampler_cls
+        skw = dict((self.train_cfg.sampler_kwargs or {}).items())
+        sampler = get_sampler_cls(self.train_cfg.sampler_id)(**skw)
+        c = self.model_cfg
+        rs_key = jax.random.key(7)
+        n_ctx = min(8, self.train_cfg.get("min_rollout_frames", 8))
+        total = n_ctx + sampler.num_frames
+        ctx = jax.random.normal(
+            rs_key, (1, n_ctx, c.channels, c.sample_size, c.sample_size),
+            jnp.bfloat16)
+        mouse = jnp.zeros((1, total, c.get("n_mouse_axes", 2)), jnp.bfloat16)
+        btn = jnp.zeros((1, total, c.n_buttons), jnp.bfloat16)
+        latents = sampler(self.student, {"params": state.student_ema},
+                          ctx, mouse, btn, jax.random.key(8))
+        out = {"eval/latent_std": float(jnp.std(latents))}
+        sdir = self.train_cfg.get("eval_sample_dir")
+        if sdir and self.is_main:
+            import os
+            os.makedirs(sdir, exist_ok=True)
+            np.save(os.path.join(sdir,
+                                 f"distill_samples_{self.total_step_counter}"
+                                 f".npy"),
+                    np.asarray(latents, dtype=np.float32))
+        return out
+
     def train(self, max_steps=None):
         accum = self.accum_steps()
         state = self.init_distill_state(self.example_args())
@@ -228,6 +258,8 @@ class CausVidTrainer(DistillTrainerBase):
             log = self.metrics.pop()
             log["time"] = self.timer.hit()
             self.timer.reset()
+            if self.total_step_counter % self.train_cfg.sample_interval == 0:
+                log.update(self.eval_step(state))
             self.logger.log(log, step=self.total_step_counter)
 
             if self.total_step_counter % self.train_cfg.save_interval == 0:
