@@ -187,3 +187,93 @@ class CausvidPipeline:
         jax.block_until_ready(frame)
         model_time = time.perf_counter() - t0
         return frame, audio_lat, model_time
+
+
+class CachedStreamingPipeline:
+    """KV-cached real-time serve for causal (distilled) students.
+
+    Where CausvidPipeline recomputes the whole window per tick (reference
+    parity — inference/causvid_pipeline.py has no KV cache), this variant
+    holds the ring cache across ticks: each tick runs ``sampling_steps``
+    single-frame denoise calls against the cache, then one write-forward
+    re-encoding the clean frame at noise_prev — the serve-side twin of
+    AVCachingSamplerV2 (5x fewer attention FLOPs per tick at window 60).
+    """
+
+    def __init__(self, core, params, config, window_frames: int = 120,
+                 noise_prev: float = 0.2, sampling_steps: int = 1,
+                 frame_decode_fn=None, image_scale: float = 1.0,
+                 seed: int = 0):
+        from owl_audio_exps_tpu.nn.kv_cache import KVCache
+        from owl_audio_exps_tpu.sampling.schedulers import resolve_schedule
+
+        self.core = core
+        self.params = params
+        self.config = config
+        self.noise_prev = noise_prev
+        self.sampling_steps = sampling_steps
+        self.frame_decode_fn = frame_decode_fn
+        self.image_scale = image_scale
+        self._resolve = resolve_schedule
+        self.cache = KVCache.from_config(config, 1,
+                                         capacity_frames=window_frames,
+                                         dtype=jnp.bfloat16)
+        self.rng = jax.random.key(seed)
+        self._ticks = {}
+
+    def prime(self, ctx_latents, ctx_mouse, ctx_btn):
+        """Warm-start: cache a context clip at noise_prev."""
+        rng, r = jax.random.split(self.rng)
+        self.rng = rng
+        z = jax.random.normal(r, ctx_latents.shape, jnp.float32)
+        noisy = (ctx_latents.astype(jnp.float32) * (1 - self.noise_prev)
+                 + z * self.noise_prev).astype(jnp.bfloat16)
+        t = jnp.full(ctx_latents.shape[:2], self.noise_prev, jnp.bfloat16)
+        _, self.cache = jax.jit(
+            lambda p, c: self.core.apply(p, noisy, t, ctx_mouse, ctx_btn,
+                                         kv_cache=c, write=True))(
+            self.params, self.cache)
+
+    def _make_tick(self, n_steps: int):
+        core, params, alpha = self.core, self.params, self.noise_prev
+        c = self.config
+        dt = self._resolve(n_steps, [1.0, 0.5] if n_steps == 2 else None)
+
+        def tick(cache, rng, mouse1, btn1):
+            rng, r_init, r_renoise = jax.random.split(rng, 3)
+            cur = jax.random.normal(
+                r_init, (1, 1, c.channels, c.sample_size, c.sample_size),
+                jnp.float32).astype(jnp.bfloat16)
+            t = jnp.ones((1, 1), jnp.bfloat16)
+            for i in range(n_steps):
+                pred, _ = core.apply(params, cur, t, mouse1, btn1,
+                                     kv_cache=cache, decoding=True)
+                cur = (cur.astype(jnp.float32) - float(dt[i])
+                       * pred.astype(jnp.float32)).astype(cur.dtype)
+                t = (t.astype(jnp.float32) - float(dt[i])).astype(t.dtype)
+            z = jax.random.normal(r_renoise, cur.shape, jnp.float32)
+            noisy = (cur.astype(jnp.float32) * (1 - alpha)
+                     + z * alpha).astype(cur.dtype)
+            _, cache = core.apply(params, noisy, jnp.full_like(t, alpha),
+                                  mouse1, btn1, kv_cache=cache,
+                                  write=True, decoding=True)
+            return cache, rng, cur
+
+        return jax.jit(tick, donate_argnums=(0,))
+
+    def __call__(self, new_mouse, new_btn):
+        n = self.sampling_steps
+        if n not in self._ticks:
+            self._ticks[n] = self._make_tick(n)
+        t0 = time.perf_counter()
+        m1 = jnp.asarray(new_mouse, jnp.bfloat16)[None, None, :]
+        b1 = jnp.asarray(np.asarray(new_btn, np.float32),
+                         jnp.bfloat16)[None, None, :]
+        self.cache, self.rng, frame_lat = self._ticks[n](
+            self.cache, self.rng, m1, b1)
+        if self.frame_decode_fn is not None:
+            frame = self.frame_decode_fn(frame_lat * self.image_scale)[0]
+        else:
+            frame = frame_lat[:, 0]
+        jax.block_until_ready(frame)
+        return frame, None, time.perf_counter() - t0

@@ -66,3 +66,32 @@ def test_train_cli_smoke(tmp_path):
     )
     assert res.returncode == 0, res.stderr[-2000:]
     assert "diffusion_loss" in res.stdout
+
+
+def test_cached_streaming_pipeline():
+    sys.path.insert(0, "inference")
+    from pipeline import CachedStreamingPipeline
+    from owl_audio_exps_tpu.models.gamerft import GameRFTCore
+
+    cfg = transformer_config(
+        model_id="game_rft", n_layers=2, n_heads=2, d_model=32, channels=4,
+        sample_size=2, tokens_per_frame=4, n_frames=16, n_buttons=3,
+        causal=True, uncond=False, has_audio=False, rope_impl="ortho",
+        local_window=2, global_window=None, cfg_prob=0.0)
+    core = GameRFTCore(cfg, dtype=jnp.bfloat16)
+    x = jnp.zeros((1, 4, 4, 2, 2), jnp.bfloat16)
+    t = jnp.zeros((1, 4), jnp.bfloat16)
+    m = jnp.zeros((1, 4, 2), jnp.bfloat16)
+    b = jnp.zeros((1, 4, 3), jnp.bfloat16)
+    params = core.init(jax.random.key(0), x, t, m, b)
+
+    pipe = CachedStreamingPipeline(core, params, cfg, window_frames=8,
+                                   sampling_steps=2)
+    pipe.prime(jnp.zeros((1, 3, 4, 2, 2), jnp.bfloat16), m[:, :3], b[:, :3])
+    assert int(pipe.cache.length) == 12  # 3 frames x 4 tokens
+
+    for i in range(10):  # runs past the ring capacity (eviction)
+        frame, _, _ = pipe(np.zeros(2), np.zeros(3))
+        assert frame.shape == (1, 4, 2, 2)
+        assert np.isfinite(np.asarray(frame, np.float32)).all()
+    assert int(pipe.cache.length) <= 8 * 4
