@@ -126,7 +126,9 @@ def flash_decode(q, k_cache, v_cache, k_cur, v_cur, start, length,
         interpret = os.environ.get("OWL_PALLAS_INTERPRET") == "1"
     B, H, Lq, Dh = q.shape
     S = k_cache.shape[2]
-    block_k = min(block_k, S)
+    # block_k > 256 miscompiles on v5e Mosaic (numerics diverge at 512 —
+    # scripts/tpu_flash_diag.py) and 256 pipelines fastest anyway.
+    block_k = min(block_k, 256, S)
     assert S % block_k == 0, "cache capacity must tile by block_k"
     n_blocks = S // block_k
 

@@ -19,7 +19,7 @@ k_cur = jnp.asarray(rs.randn(B, H, Lq, Dh), jnp.bfloat16)
 v_cur = jnp.asarray(rs.randn(B, H, Lq, Dh), jnp.bfloat16)
 start, length = jnp.int32(800), jnp.int32(S - 64)
 
-out = flash_decode(q, k_cache, v_cache, k_cur, v_cur, start, length, block_k=512)
+out = flash_decode(q, k_cache, v_cache, k_cur, v_cur, start, length, block_k=256)
 rel = np.mod(np.arange(S) - 800, S); valid = rel < (S - 64)
 mask = jnp.asarray(np.concatenate([valid, np.ones(Lq, bool)])[None])
 def dense(q, kc, vc, k1, v1):
@@ -40,7 +40,7 @@ def timeit(f, *args, n=20):
     jax.block_until_ready(o)
     return (time.perf_counter() - t0) / n * 1e3
 
-fd = jax.jit(lambda *a: flash_decode(*a, jnp.int32(800), jnp.int32(S-64), block_k=512))
+fd = jax.jit(lambda *a: flash_decode(*a, jnp.int32(800), jnp.int32(S-64), block_k=256))
 t_flash = timeit(fd, q, k_cache, v_cache, k_cur, v_cur)
 t_dense = timeit(dense_j, q, k_cache, v_cache, k_cur, v_cur)
 print(f"flash_decode: {t_flash:.3f} ms | dense: {t_dense:.3f} ms | speedup {t_dense/t_flash:.2f}x")
