@@ -386,4 +386,26 @@ class AudioRFTTrainer(RFTFamilyTrainer):
                                 jnp.bfloat16)
         latents = sampler(self.core, {"params": state.ema_params["core"]},
                           ctx, jax.random.key(8))
-        return {"eval/audio_latent_std": float(jnp.std(latents))}
+        out = {"eval/audio_latent_std": float(jnp.std(latents))}
+        # decode + export wav clips (reference: audio_rft_trainer.py:286-291
+        # logs wandb.Audio at 44.1 kHz)
+        out_dir = self.train_cfg.get("eval_media_dir")
+        if out_dir and self.is_main:
+            from ..utils.owl_vae_bridge import (get_audio_encoder_decoder,
+                                                make_batched_audio_decode_fn)
+            from ..utils.media import write_wav
+            import os
+            if not hasattr(self, "_audio_decoder"):
+                _, dec = get_audio_encoder_decoder(
+                    self.train_cfg.get("vae_cfg_path"),
+                    self.train_cfg.get("vae_ckpt_path"),
+                    latent_channels=c.channels)
+                self._audio_decoder = make_batched_audio_decode_fn(
+                    dec, self.train_cfg.vae_batch_size)
+            wf = np.asarray(self._audio_decoder(
+                latents[:1] * self.train_cfg.vae_scale)[0],
+                dtype=np.float32)
+            os.makedirs(out_dir, exist_ok=True)
+            write_wav(os.path.join(
+                out_dir, f"audio_{self.total_step_counter}.wav"), wf)
+        return out

@@ -127,3 +127,18 @@ def test_rft_video_trainer_smoke(tmp_path):
     trainer = get_trainer_cls("rft")(cfg)
     state = trainer.train(max_steps=2)
     assert int(state.step) == 2
+
+
+def test_audio_eval_media_export(tmp_path):
+    """eval_step decodes and writes a wav when eval_media_dir is set."""
+    import os
+    cfg_d = audio_cfg_dict(tmp_path)
+    cfg_d["train"]["eval_media_dir"] = str(tmp_path / "media")
+    cfg_d["train"]["sample_interval"] = 2
+    cfg_d["model"]["channels"] = 64  # in-repo VAE latent width
+    cfg_d["train"]["data_kwargs"] = {"window_length": 8, "channels": 64}
+    cfg = Config.from_dict(cfg_d)
+    trainer = get_trainer_cls("audio_rft")(cfg)
+    trainer.train(max_steps=2)
+    wavs = [f for f in os.listdir(tmp_path / "media") if f.endswith(".wav")]
+    assert wavs, "no wav exported at the sample interval"
