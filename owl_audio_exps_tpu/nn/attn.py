@@ -169,7 +169,7 @@ def cached_attention(cfg, layer_idx: int, local: bool, dtype,
             # block_k = 256 pipelines best on v5e (scripts/tpu_flash_tune.py:
             # 1.85 ms vs 3.3 ms at bk=512 for a 32k-token cache)
             block_k = 128
-            for cand in (256, 512, 128):
+            for cand in (256, 128):
                 if kv_cache.capacity % cand == 0:
                     block_k = cand
                     break

@@ -126,8 +126,8 @@ def flash_decode(q, k_cache, v_cache, k_cur, v_cur, start, length,
         interpret = os.environ.get("OWL_PALLAS_INTERPRET") == "1"
     B, H, Lq, Dh = q.shape
     S = k_cache.shape[2]
-    # block_k > 256 miscompiles on v5e Mosaic (numerics diverge at 512 —
-    # scripts/tpu_flash_diag.py) and 256 pipelines fastest anyway.
+    # block_k=256 pipelines fastest on v5e (1.85 ms vs 3.3 ms at 512 for
+    # a 32k-token cache — scripts/tpu_flash_tune.py)
     block_k = min(block_k, 256, S)
     assert S % block_k == 0, "cache capacity must tile by block_k"
     n_blocks = S // block_k

@@ -13,8 +13,8 @@ S, Lq = 1536 * 64 // 16, 72   # 6144 slots (96 frames x 64), 72-token q pad-free
 Lq = 65
 rs = np.random.RandomState(0)
 q = jnp.asarray(rs.randn(B, H, Lq, Dh), jnp.bfloat16)
-k_cache = jnp.asarray(rs.randn(B, S, H, Dh), jnp.bfloat16)
-v_cache = jnp.asarray(rs.randn(B, S, H, Dh), jnp.bfloat16)
+k_cache = jnp.asarray(rs.randn(B, H, S, Dh), jnp.bfloat16)
+v_cache = jnp.asarray(rs.randn(B, H, S, Dh), jnp.bfloat16)
 k_cur = jnp.asarray(rs.randn(B, H, Lq, Dh), jnp.bfloat16)
 v_cur = jnp.asarray(rs.randn(B, H, Lq, Dh), jnp.bfloat16)
 start, length = jnp.int32(800), jnp.int32(S - 64)
@@ -23,8 +23,8 @@ out = flash_decode(q, k_cache, v_cache, k_cur, v_cur, start, length, block_k=256
 rel = np.mod(np.arange(S) - 800, S); valid = rel < (S - 64)
 mask = jnp.asarray(np.concatenate([valid, np.ones(Lq, bool)])[None])
 def dense(q, kc, vc, k1, v1):
-    k = jnp.concatenate([jnp.transpose(kc, (0,2,1,3)), k1], axis=2)
-    v = jnp.concatenate([jnp.transpose(vc, (0,2,1,3)), v1], axis=2)
+    k = jnp.concatenate([kc, k1], axis=2)
+    v = jnp.concatenate([vc, v1], axis=2)
     return dot_attention(q, k, v, mask)
 dense_j = jax.jit(dense)
 want = dense_j(q, k_cache, v_cache, k_cur, v_cur)
