@@ -138,10 +138,18 @@ class BaseTrainer:
         opt_state = jax.jit(tx.init, out_shardings=opt_shardings)(params)
         from jax.sharding import NamedSharding, PartitionSpec
         repl = NamedSharding(self.mesh, PartitionSpec())
+        ema_dtype = self.train_cfg.get("ema_dtype")  # e.g. 'bfloat16' to
+        # halve EMA memory on single-chip runs; default keeps fp32
+
+        def make_ema(p):
+            if ema_dtype:
+                return jax.tree.map(
+                    lambda x: x.astype(jnp.dtype(ema_dtype)), p)
+            return jax.tree.map(jnp.copy, p)
+
         return TrainState(
             params=params,
-            ema_params=jax.jit(lambda p: jax.tree.map(jnp.copy, p),
-                               out_shardings=p_shardings)(params),
+            ema_params=jax.jit(make_ema, out_shardings=p_shardings)(params),
             opt_state=opt_state,
             step=jax.device_put(jnp.zeros((), jnp.int32), repl),
         )
