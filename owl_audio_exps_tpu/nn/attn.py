@@ -74,10 +74,11 @@ def use_flash_decode(config, is_local: bool, q_len: int, kv_cache,
         return True
     try:
         import jax
-        # dense XLA attention wins below ~16k cached tokens (measured on
-        # v5e, scripts/tpu_sampler_bisect3.py); flash avoids the HBM
-        # logits round-trip that dominates at larger caches
-        return jax.devices()[0].platform == "tpu" and S >= 16384
+        # in-model, dense XLA attention still wins at 32k cached tokens
+        # (19.9 vs 40.4 ms/forward, scripts/tpu_single_fwd.py) — the
+        # kernel's per-block overhead needs round-2 tuning; auto only
+        # engages flash where dense logits memory becomes prohibitive
+        return jax.devices()[0].platform == "tpu" and S >= 49152
     except Exception:
         return False
 
