@@ -1,0 +1,37 @@
+"""Logger / checkpoint helper tests."""
+
+import json
+import os
+
+from owl_audio_exps_tpu.utils.logging import LogHelper, ExperimentLogger
+from owl_audio_exps_tpu.utils.checkpoints import latest_step_dir
+
+
+def test_loghelper_means():
+    h = LogHelper()
+    h.log("loss", 1.0)
+    h.log("loss", 3.0)
+    h.log_dict({"aux": 2.0})
+    out = h.pop()
+    assert out == {"loss": 2.0, "aux": 2.0}
+    assert h.pop() == {}  # cleared
+
+
+def test_jsonl_sink(tmp_path):
+    logger = ExperimentLogger({"run_name": "t", "project": None},
+                              run_dir=str(tmp_path))
+    logger.log({"loss": 1.5}, step=3)
+    logger.log_media("samples", [1, 2, 3], step=3)
+    logger.finish()
+    lines = open(tmp_path / "t.jsonl").read().strip().splitlines()
+    rec = json.loads(lines[0])
+    assert rec["step"] == 3 and rec["loss"] == 1.5
+    assert os.path.exists(tmp_path / "samples_3.npy")
+
+
+def test_latest_step_dir(tmp_path):
+    assert latest_step_dir(str(tmp_path / "nope")) is None
+    for s in (10, 2, 30):
+        os.makedirs(tmp_path / f"step_{s}")
+    os.makedirs(tmp_path / "other")
+    assert latest_step_dir(str(tmp_path)).endswith("step_30")
