@@ -327,6 +327,20 @@ class DiT(nn.Module):
             local_mask, global_mask = build_masks(
                 cfg, x.shape[1], doc_id, kv_cache, decoding)
 
+        if use_scan_layers(cfg, kv_cache):
+            local_idx = cfg.get("local_idx", 4) or 4
+            n_groups = cfg.n_layers // local_idx
+            ScanGroups = nn.scan(
+                DiTGroup,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                in_axes=(nn.broadcast,) * 5,
+                length=n_groups,
+            )
+            x, _ = ScanGroups(cfg, dtype=self.dtype, name="groups")(
+                x, cond, local_mask, global_mask, doc_id, splash)
+            return x, kv_cache
+
         # remat whenever configured and uncached: free in fwd-only calls
         # (nothing recomputes without a backward pass), essential for long-
         # context training memory (reference: owl_wms/nn/attn.py:187-188)
@@ -349,6 +363,41 @@ class DiT(nn.Module):
                 jnp.stack([v for _, v in writes]))
             kv_cache = kv_cache.advance(x.shape[1])
         return x, kv_cache
+
+
+class DiTGroup(nn.Module):
+    """One period of the local/global alternation ([global, local x
+    (local_idx-1)]) — the scanned unit of ``scan_layers`` mode. Masks and
+    path selection stay static inside the group, so nn.scan compiles ONE
+    group program reused across n_layers/local_idx iterations (big
+    compile-time + fusion win for deep stacks)."""
+
+    config: object
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, cond, local_mask, global_mask, doc_id, splash):
+        cfg = self.config
+        local_idx = cfg.get("local_idx", 4) or 4
+        block_cls = DiTBlock
+        if cfg.get("gradient_checkpointing", False):
+            block_cls = nn.remat(DiTBlock, static_argnums=(5, 6, 8))
+        for j in range(local_idx):
+            local = j % local_idx != 0
+            mask = local_mask if local else global_mask
+            x, _ = block_cls(cfg, j, local, dtype=self.dtype,
+                             name=f"blocks_{j}")(
+                x, cond, mask, None, False, splash, doc_id, False)
+        return x, None
+
+
+def use_scan_layers(config, kv_cache) -> bool:
+    """Opt-in (model.scan_layers: true) group-scanned training forward.
+    Decode keeps unrolled layers (per-layer cache paths)."""
+    local_idx = config.get("local_idx", 4) or 4
+    return (bool(config.get("scan_layers", False))
+            and kv_cache is None
+            and config.n_layers % local_idx == 0)
 
 
 class SkipConnection(nn.Module):
