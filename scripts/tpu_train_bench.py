@@ -18,7 +18,8 @@ cfg = transformer_config(
     n_heads=24, d_model=1536, tokens_per_frame=64, n_buttons=11,
     cfg_prob=0.1, n_frames=max(N_FRAMES, 256), causal=True, uncond=False,
     backbone="dit", has_audio=False, rope_impl="motion",
-    local_window=16, global_window=None, gradient_checkpointing=True)
+    local_window=16, global_window=None, gradient_checkpointing=True,
+    scan_layers=os.environ.get("OWL_SCAN_LAYERS") == "1")
 model = GameRFT(cfg, dtype=jnp.bfloat16)
 rs = np.random.RandomState(0)
 x = jnp.asarray(rs.randn(B, N_FRAMES, 128, 8, 8), jnp.bfloat16)
