@@ -126,6 +126,9 @@ class KVCache:
         advance separately via ``advance(t)``.
         """
         t = new_k.shape[3]
+        assert t <= self.capacity, (
+            f"write of {t} tokens exceeds ring capacity "
+            f"{self.capacity}; truncate the context first")
         if (self.capacity % self.tokens_per_frame == 0
                 and t % self.tokens_per_frame == 0):
             pos = jnp.mod(self.start + self.length, self.capacity)
@@ -160,6 +163,9 @@ class KVCache:
         identically; a single shared counter is the same thing).
         """
         t = new_k.shape[2]
+        assert t <= self.capacity, (
+            f"write of {t} tokens exceeds ring capacity "
+            f"{self.capacity}; truncate the context first")
         if (self.capacity % self.tokens_per_frame == 0
                 and t % self.tokens_per_frame == 0):
             # Frame-aligned fast path: start/length only ever move in whole

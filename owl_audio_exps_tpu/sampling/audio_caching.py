@@ -60,6 +60,9 @@ class AudioCachingSampler:
         b, init_len, c = x.shape
         dt = resolve_schedule(self.n_steps, self.custom_schedule)
         capacity = self.max_window or (init_len + self.num_tokens)
+        if init_len > capacity:  # rolling semantics: keep the tail
+            x = x[:, -capacity:]
+            init_len = capacity
         cache = KVCache.from_config(core.config, b, capacity_frames=capacity,
                                     dtype=x.dtype)
 
