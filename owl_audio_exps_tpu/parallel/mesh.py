@@ -41,7 +41,19 @@ def make_mesh(mesh_cfg: MeshConfig = None, devices=None) -> Mesh:
     """Create (and install as default) the global mesh."""
     global _MESH
     mesh_cfg = mesh_cfg or MeshConfig()
-    devices = devices if devices is not None else jax.devices()
+    if devices is None:
+        devices = jax.devices()
+        needed = max(mesh_cfg.fsdp * mesh_cfg.tensor,
+                     mesh_cfg.data * mesh_cfg.fsdp * mesh_cfg.tensor)
+        if len(devices) < needed:
+            # multi-device request on a single-accelerator host: fall back
+            # to the virtual CPU mesh (xla_force_host_platform_device_count)
+            try:
+                cpu = jax.devices("cpu")
+                if len(cpu) >= needed:
+                    devices = cpu
+            except RuntimeError:
+                pass
     n = len(devices)
     fsdp, tensor = mesh_cfg.fsdp, mesh_cfg.tensor
     data = mesh_cfg.data if mesh_cfg.data > 0 else n // (fsdp * tensor)
