@@ -69,8 +69,11 @@ def muon(lr: float, momentum: float = 0.95, nesterov: bool = True,
             new_buf = buf + (1.0 - momentum) * (g - buf)
             gm = g + momentum * (new_buf - g) if nesterov else new_buf
             shape = gm.shape
-            if gm.ndim > 2:
+            if gm.ndim == 4:
+                # conv kernels flatten like the reference (muon.py:78-79)
                 gm = gm.reshape(shape[0], -1)
+            # 3-D = stacked scan_layers matrices: NS5 batches over the
+            # leading group axis (each layer orthogonalized separately)
             o = zeropower_via_newtonschulz5(gm, ns_steps).astype(p.dtype)
             if o.shape != shape:
                 o = o.reshape(shape)

@@ -63,3 +63,48 @@ def test_scanned_init_shapes_and_grads():
         p, x, rngs={"noise": jax.random.key(2)})))(params)
     for g in jax.tree.leaves(grads):
         assert np.isfinite(np.asarray(g)).all()
+
+
+def test_muon_batched_ns5_on_stacked_params():
+    """Stacked [groups, in, out] params must be orthogonalized per group,
+    not flattened into one matrix."""
+    from owl_audio_exps_tpu.muon import zeropower_via_newtonschulz5
+    rs = np.random.RandomState(0)
+    g = jnp.asarray(rs.randn(3, 64, 32).astype(np.float32))
+    o = np.asarray(zeropower_via_newtonschulz5(g, 5), np.float32)
+    assert o.shape == (3, 64, 32)
+    for i in range(3):
+        s = np.linalg.svd(o[i], compute_uv=False)
+        assert s.max() < 2.0 and s.min() > 0.2, i
+
+
+def test_muon_trains_scanned_model(tmp_path):
+    from owl_audio_exps_tpu.configs import Config
+    from owl_audio_exps_tpu.trainers import get_trainer_cls
+    cfg = Config.from_dict({
+        "model": {
+            "model_id": "audio_rft", "n_layers": 4, "n_heads": 2,
+            "d_model": 32, "channels": 8, "tokens_per_frame": 1,
+            "n_frames": 16, "sample_size": 8, "causal": True,
+            "uncond": True, "has_audio": True, "rope_impl": "audio1d",
+            "local_window": 4, "global_window": None, "cfg_prob": 0.0,
+            "backbone": "dit", "local_idx": 2, "scan_layers": True,
+        },
+        "train": {
+            "trainer_id": "audio_rft", "data_id": "synthetic_audio_latent",
+            "data_kwargs": {"window_length": 8, "channels": 8},
+            "target_batch_size": 4, "batch_size": 4, "epochs": 1,
+            "opt": "Muon",
+            "opt_kwargs": {"lr": 1e-3, "momentum": 0.95, "adamw_lr": 1e-3,
+                           "adamw_keys": ["t_embed", "proj_in", "proj_out",
+                                          "adaln", "gate"]},
+            "checkpoint_dir": str(tmp_path / "ckpt"), "save_interval": 100,
+            "sample_interval": 1000, "vae_scale": 1.0,
+        },
+        "wandb": {"run_name": "scan_muon"},
+    })
+    trainer = get_trainer_cls("audio_rft")(cfg)
+    state = trainer.train(max_steps=2)
+    assert int(state.step) == 2
+    for leaf in jax.tree.leaves(state.params):
+        assert np.isfinite(np.asarray(leaf)).all()
