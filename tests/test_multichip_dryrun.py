@@ -1,0 +1,102 @@
+"""Multichip verification — the round-1 gap (VERDICT.md Weak #1/#3).
+
+Three layers of proof, all CPU-runnable:
+
+1. the driver's exact call — ``dryrun_multichip(8)`` imported from
+   ``__graft_entry__`` — must pass hermetically (it re-execs in a
+   subprocess pinned to the CPU platform, so a hostile host accelerator
+   cannot break it);
+2. an in-process full sharded train step on a real {data:2, fsdp:2,
+   tensor:2} mesh with divisible batch sizes, asserting params occupy
+   strict shards (not silent replication);
+3. sharding-rule unit checks: the fused qkv kernel must shard
+   (fsdp, tensor) and the row-parallel projections (tensor, fsdp).
+
+Reference parity: the torch reference's only parallelism story is DDP
+(owl_wms/utils/ddp.py:5-28, rft_trainer.py:95-96); this exercises the
+TPU-native superset (dp x fsdp x tp over one mesh).
+"""
+
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+import __graft_entry__ as graft  # noqa: E402
+
+
+@pytest.mark.slow
+def test_dryrun_multichip_driver_call():
+    """The exact driver invocation: module import + direct call. Must be
+    hermetic even though this test process is already pinned to CPU."""
+    graft.dryrun_multichip(8)
+
+
+def test_sharded_train_step_2x2x2():
+    """Full train step (loss+grads+opt+EMA) in-process on a 2x2x2 mesh,
+    asserting the params are genuinely distributed."""
+    from owl_audio_exps_tpu.parallel.mesh import (
+        make_mesh, MeshConfig, batch_sharding)
+    from owl_audio_exps_tpu.trainers import get_trainer_cls
+
+    cfg, n_frames = graft._flagship_cfg(tiny=True)
+    cfg.train.mesh = {"data": 2, "fsdp": 2, "tensor": 2}
+    cfg.train.batch_size = 4       # divisible by data*fsdp = 4: real shards
+    cfg.train.target_batch_size = 8  # accum = 2
+    cfg.train.data_kwargs = {
+        "window_length": n_frames, "channels": cfg.model.channels,
+        "audio_channels": cfg.model.audio_channels,
+        "sample_size": cfg.model.sample_size,
+        "n_buttons": cfg.model.n_buttons,
+    }
+
+    trainer = get_trainer_cls("av")(cfg)
+    assert dict(trainer.mesh.shape) == {"data": 2, "fsdp": 2, "tensor": 2}
+
+    state = trainer.train(max_steps=2)
+    assert int(state.step) == 2
+
+    leaves = jax.tree.leaves(state.params)
+    assert all(bool(jnp.isfinite(l).all()) for l in leaves)
+
+    def strict_shard(x):
+        return (hasattr(x, "sharding")
+                and x.addressable_shards[0].data.shape != x.shape)
+
+    n_sharded = sum(1 for l in leaves if strict_shard(l))
+    assert n_sharded > 0, "params silently replicated on the 2x2x2 mesh"
+    # optimizer first moments inherit the param shardings
+    opt_leaves = jax.tree.leaves(state.opt_state)
+    assert any(strict_shard(l) for l in opt_leaves if hasattr(l, "shape")
+               and getattr(l, "ndim", 0) >= 2), \
+        "optimizer state not sharded like params"
+
+
+def test_sharding_rules_qkv_and_row_parallel():
+    """Rule-level checks against a 2x2x2 mesh (no compile needed)."""
+    import numpy as np
+    from jax.sharding import Mesh, PartitionSpec as P
+    from owl_audio_exps_tpu.parallel.sharding import spec_for_path
+
+    devs = np.asarray(jax.devices()[:8]).reshape(2, 2, 2)
+    mesh = Mesh(devs, ("data", "fsdp", "tensor"))
+
+    # column-parallel fused qkv: heads-major output shards over tensor
+    assert spec_for_path("core/transformer/blocks_0/attn/qkv/kernel",
+                         (64, 192), mesh) == P("fsdp", "tensor")
+    # row-parallel out projection
+    assert spec_for_path("core/transformer/blocks_0/attn/out/kernel",
+                         (64, 64), mesh) == P("tensor", "fsdp")
+    assert spec_for_path("core/transformer/blocks_0/mlp/fc2/kernel",
+                         (256, 64), mesh) == P("tensor", "fsdp")
+    # divisibility guard: odd dims replicate rather than crash
+    assert spec_for_path("core/x/attn/qkv/kernel", (63, 192), mesh) == \
+        P(None, "tensor")
+    # non-matrix leaves replicate
+    assert spec_for_path("core/x/adaln/scale", (64,), mesh) == P()
