@@ -89,14 +89,26 @@ class MLPCustom(nn.Module):
 
 
 class MLP(nn.Module):
-    """Transformer MLP: d -> 4d -> d (reference: owl_wms/nn/mlp.py:29-37)."""
+    """Transformer MLP: d -> 4d -> d (reference: owl_wms/nn/mlp.py:29-37).
+
+    fc1/fc2 live directly at this module's scope (params ``mlp/fc1``,
+    ``mlp/fc2``) so torch-reference state_dicts (``mlp.fc1.weight``) map
+    1:1 through utils/torch_import.py."""
 
     d_model: int
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x):
-        return MLPCustom(self.d_model * 4, self.d_model, dtype=self.dtype)(x)
+        zeros = nn.initializers.zeros
+        x = Linear(self.d_model * 4, dtype=self.dtype,
+                   kernel_init=scaled_kaiming_normal_init, bias_init=zeros,
+                   name="fc1")(x)
+        x = nn.silu(x)
+        x = Linear(self.d_model, dtype=self.dtype,
+                   kernel_init=scaled_kaiming_normal_init, bias_init=zeros,
+                   name="fc2")(x)
+        return x
 
 
 def broadcast_cond(cond: jnp.ndarray, n_tokens: int) -> jnp.ndarray:
