@@ -286,6 +286,30 @@ class BaseTrainer:
         return getattr(self, "_preempted", False)
 
     # ----------------------------------------------------------- helpers
+    def stacked_batch_put(self):
+        """put_fn for [accum, batch, ...] host stacks: the batch axis
+        shards over data x fsdp when it divides evenly (small test
+        batches replicate). Shared by the RFT-family and distillation
+        loops so every trainer feeds the mesh the same way."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..parallel.mesh import AXIS_DATA, AXIS_FSDP
+        dp_total = self.mesh.shape[AXIS_DATA] * self.mesh.shape[AXIS_FSDP]
+        sharded = NamedSharding(self.mesh, P(None, (AXIS_DATA, AXIS_FSDP)))
+        repl = NamedSharding(self.mesh, P())
+
+        def put_leaf(leaf):
+            arr = jnp.asarray(leaf)
+            ok = arr.ndim >= 2 and arr.shape[1] % dp_total == 0
+            return jax.device_put(arr, sharded if ok else repl)
+
+        return lambda batch: jax.tree.map(put_leaf, batch)
+
+    def log_interval(self) -> int:
+        """Steps between host-blocking metric drains (1 = per-step,
+        reference behavior; >1 keeps the device pipeline ahead of the
+        host)."""
+        return int(self.train_cfg.get("log_interval") or 10)
+
     def accum_steps(self) -> int:
         """target_batch_size // batch_size // data-shards
         (reference: rft_trainer.py:144-145)."""

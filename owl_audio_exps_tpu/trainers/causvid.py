@@ -234,11 +234,23 @@ class CausVidTrainer(DistillTrainerBase):
                                          or {}).items())))
         critic_step, student_step = self.make_steps(accum)
 
-        def batch_stack():
-            micro = [next(loader) for _ in range(accum)]
-            cols = len(micro[0])
-            return [jnp.asarray(np.stack([m[i] for m in micro]))
-                    for i in range(cols)]
+        # background host->device pipeline with mesh-sharded batch stacks
+        # (same plumbing as the RFT family; the reference DDP-wraps the
+        # distill triple, causvid_vid_only.py:416-418)
+        from ..data.prefetch import device_prefetch
+
+        def stacked_gen():
+            while True:
+                micro = [next(loader) for _ in range(accum)]
+                cols = len(micro[0])
+                yield [np.stack([m[i] for m in micro]) for i in range(cols)]
+
+        prefetched = device_prefetch(stacked_gen(), size=2,
+                                     put_fn=self.stacked_batch_put())
+
+        from ..utils.logging import DeferredMetrics
+        pending = DeferredMetrics()
+        log_interval = self.log_interval()
 
         rng = jax.random.key(11 + jax.process_index())
         total = max_steps if max_steps is not None else \
@@ -248,20 +260,29 @@ class CausVidTrainer(DistillTrainerBase):
         while self.total_step_counter < total:
             for _ in range(update_ratio):
                 rng, r = jax.random.split(rng)
-                state, m = critic_step(state, batch_stack(), r)
-                self.metrics.log_dict({k: float(v) for k, v in m.items()})
+                state, m = critic_step(state, next(prefetched), r)
+                pending.append(self.total_step_counter, m)
             rng, r = jax.random.split(rng)
-            state, m = student_step(state, batch_stack(), r)
-            self.metrics.log_dict({k: float(v) for k, v in m.items()})
+            state, m = student_step(state, next(prefetched), r)
+            pending.append(self.total_step_counter + 1, m)
 
             self.total_step_counter += 1
+            do_sample = \
+                self.total_step_counter % self.train_cfg.sample_interval == 0
+            do_save = \
+                self.total_step_counter % self.train_cfg.save_interval == 0
+            if not (self.total_step_counter % log_interval == 0 or do_sample
+                    or do_save or self.total_step_counter >= total):
+                continue
+
+            for _, mm in pending.drain():
+                self.metrics.log_dict(mm)
             log = self.metrics.pop()
             log["time"] = self.timer.hit()
-            self.timer.reset()
-            if self.total_step_counter % self.train_cfg.sample_interval == 0:
+            if do_sample:
                 log.update(self.eval_step(state))
             self.logger.log(log, step=self.total_step_counter)
-
-            if self.total_step_counter % self.train_cfg.save_interval == 0:
+            if do_save:
                 self.save(state)
+            self.timer.reset()
         return state

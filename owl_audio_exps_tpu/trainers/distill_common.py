@@ -107,23 +107,48 @@ class DistillTrainerBase(BaseTrainer):
 
     # ------------------------------------------------------------------
     def init_distill_state(self, example_args):
-        init = self.student.init(jax.random.key(0), *example_args)["params"]
-        student_params = init
-        critic_params = jax.tree.map(jnp.copy, init)
-        teacher_params = self.teacher.init(jax.random.key(1),
-                                           *example_args)["params"]
+        """Sharded triple init: student/critic/teacher params and both
+        optimizer states land directly in the rule-derived mesh shardings
+        (the same treatment BaseTrainer.init_state gives the RFT family —
+        the reference runs distillation under DDP,
+        causvid_vid_only.py:416-418, so multi-device is not optional)."""
+        from ..parallel.sharding import param_shardings
+        from .base import _opt_shardings
+
+        def init_fn():
+            return self.student.init(jax.random.key(0),
+                                     *example_args)["params"]
+
+        shapes = jax.eval_shape(init_fn)
+        shardings = param_shardings(shapes, self.mesh)
+        self.param_shardings = shardings
+        student_params = jax.jit(init_fn, out_shardings=shardings)()
+        copy_fn = jax.jit(lambda p: jax.tree.map(jnp.copy, p),
+                          out_shardings=shardings)
+        critic_params = copy_fn(student_params)
+
+        def teacher_init():
+            return self.teacher.init(jax.random.key(1),
+                                     *example_args)["params"]
+
+        t_shapes = jax.eval_shape(teacher_init)
+        t_shardings = param_shardings(t_shapes, self.mesh)
 
         from ..utils.checkpoints import versatile_load
         if self.train_cfg.teacher_ckpt:
-            teacher_params = versatile_load(self.train_cfg.teacher_ckpt)
-            teacher_params = _unwrap_core(teacher_params)
+            teacher_params = _unwrap_core(
+                versatile_load(self.train_cfg.teacher_ckpt))
+            teacher_params = jax.device_put(teacher_params, t_shardings)
+        else:
+            teacher_params = jax.jit(teacher_init,
+                                     out_shardings=t_shardings)()
         if self.train_cfg.get("student_ckpt"):
-            student_params = _unwrap_core(
-                versatile_load(self.train_cfg.student_ckpt))
-            critic_params = jax.tree.map(jnp.copy, student_params)
+            student_params = jax.device_put(
+                _unwrap_core(versatile_load(self.train_cfg.student_ckpt)),
+                shardings)
+            critic_params = copy_fn(student_params)
 
-        self.teacher_params = jax.tree.map(
-            lambda x: jnp.asarray(x), teacher_params)
+        self.teacher_params = teacher_params
 
         self.student_tx = build_simple_opt(
             self.train_cfg.opt, dict((self.train_cfg.opt_kwargs or {}).items()))
@@ -132,12 +157,17 @@ class DistillTrainerBase(BaseTrainer):
             dict((self.train_cfg.get("d_opt_kwargs")
                   or self.train_cfg.opt_kwargs or {}).items()))
 
+        def opt_init(tx, params):
+            opt_shapes = jax.eval_shape(tx.init, params)
+            opt_sh = _opt_shardings(opt_shapes, shardings, self.mesh)
+            return jax.jit(tx.init, out_shardings=opt_sh)(params)
+
         return DistillState(
             student_params=student_params,
-            student_ema=jax.tree.map(jnp.copy, student_params),
-            student_opt=self.student_tx.init(student_params),
+            student_ema=copy_fn(student_params),
+            student_opt=opt_init(self.student_tx, student_params),
             critic_params=critic_params,
-            critic_opt=self.critic_tx.init(critic_params),
+            critic_opt=opt_init(self.critic_tx, critic_params),
             step=jnp.zeros((), jnp.int32),
         )
 

@@ -117,8 +117,10 @@ class DistillODETrainer(DistillTrainerBase):
         t_layers = self.teacher_cfg.n_layers
         s_layers = self.model_cfg.n_layers
         if s_layers < t_layers and self.train_cfg.teacher_ckpt:
-            pruned = transfer_pruned_params(self.teacher_params,
-                                            t_layers, s_layers)
+            pruned = jax.device_put(
+                transfer_pruned_params(self.teacher_params,
+                                       t_layers, s_layers),
+                self.param_shardings)
             state = state.replace(
                 student_params=pruned,
                 student_ema=jax.tree.map(jnp.copy, pruned),
@@ -167,20 +169,36 @@ class DistillODETrainer(DistillTrainerBase):
             self.train_cfg.get("max_steps") or int(1e12)
         self.timer.reset()
 
-        example = self.example_args()  # noqa: F841 (shape doc)
+        from ..data.prefetch import device_prefetch
+        from ..utils.logging import DeferredMetrics
+
+        def stacked_gen():
+            while True:
+                micro = [next(loader) for _ in range(accum)]
+                cols = len(micro[0])
+                yield [np.stack([m[i] for m in micro]) for i in range(cols)]
+
+        prefetched = device_prefetch(stacked_gen(), size=2,
+                                     put_fn=self.stacked_batch_put())
+        pending = DeferredMetrics()
+        log_interval = self.log_interval()
+
         while self.total_step_counter < total:
-            micro = [next(loader) for _ in range(accum)]
-            cols = len(micro[0])
-            batch_stack = [jnp.asarray(np.stack([m[i] for m in micro]))
-                           for i in range(cols)]
             rng, r = jax.random.split(rng)
-            state, m = step_jit(state, batch_stack, r)
-            self.metrics.log_dict({k: float(v) for k, v in m.items()})
+            state, m = step_jit(state, next(prefetched), r)
+            pending.append(self.total_step_counter + 1, m)
             self.total_step_counter += 1
+            do_save = \
+                self.total_step_counter % self.train_cfg.save_interval == 0
+            if not (self.total_step_counter % log_interval == 0 or do_save
+                    or self.total_step_counter >= total):
+                continue
+            for _, mm in pending.drain():
+                self.metrics.log_dict(mm)
             log = self.metrics.pop()
             log["time"] = self.timer.hit()
-            self.timer.reset()
             self.logger.log(log, step=self.total_step_counter)
-            if self.total_step_counter % self.train_cfg.save_interval == 0:
+            if do_save:
                 self.save(state)
+            self.timer.reset()
         return state

@@ -114,57 +114,62 @@ class RFTFamilyTrainer(BaseTrainer):
         total = max_steps if max_steps is not None else \
             self.train_cfg.get("max_steps") or int(1e12)
 
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        from ..parallel.mesh import AXIS_DATA, AXIS_FSDP
-        # [accum, batch, ...]: batch axis sharded over data x fsdp when it
-        # divides (replicate small test batches)
-        dp_total = self.mesh.shape[AXIS_DATA] * self.mesh.shape[AXIS_FSDP]
-        sharded = NamedSharding(self.mesh, P(None, (AXIS_DATA, AXIS_FSDP)))
-        repl = NamedSharding(self.mesh, P())
-
-        def put_stack(leaf):
-            arr = jnp.asarray(leaf)
-            ok = arr.ndim >= 2 and arr.shape[1] % dp_total == 0
-            return jax.device_put(arr, sharded if ok else repl)
-
         # background host->device pipeline: stacking + transfer overlap the
         # device step (replaces torch DataLoader prefetch_factor)
         def stacked_gen():
             while True:
                 yield _stack_accum([next(data_iter) for _ in range(accum)])
 
-        prefetched = device_prefetch(
-            stacked_gen(), size=2,
-            put_fn=lambda b: jax.tree.map(put_stack, b))
+        prefetched = device_prefetch(stacked_gen(), size=2,
+                                     put_fn=self.stacked_batch_put())
+
+        # metrics stay on-device between drains so the host never blocks
+        # mid-window and XLA keeps >= log_interval steps in flight
+        from ..utils.logging import DeferredMetrics
+        pending = DeferredMetrics()
+        log_interval = self.log_interval()
+        profiler.start()
 
         while self.total_step_counter < total:
             if self.should_stop():
+                for _, m in pending.drain():
+                    self.metrics.log_dict(m)
                 self.save(state)
                 break
             batch_stack = next(prefetched)
             rng, step_rng = jax.random.split(rng)
             step_profiler.maybe_start(self.total_step_counter)
-            profiler.start()
             state, metrics = step_fn(state, batch_stack, step_rng)
-            metrics = {k: float(v) for k, v in metrics.items()}
-            profiler.stop()
+            pending.append(self.total_step_counter + 1, metrics)
             step_profiler.maybe_stop(self.total_step_counter)
-            self.metrics.log_dict(metrics)
-            if (self.total_step_counter + 1) % 50 == 0:
-                self.metrics.log_dict(profiler.report())
-
             self.total_step_counter += 1
-            log = self.metrics.pop()
-            log["time"] = self.timer.hit()
-            self.timer.reset()
 
-            if sampler is not None and \
-                    self.total_step_counter % self.train_cfg.sample_interval == 0:
+            do_sample = sampler is not None and \
+                self.total_step_counter % self.train_cfg.sample_interval == 0
+            do_save = \
+                self.total_step_counter % self.train_cfg.save_interval == 0
+            boundary = (self.total_step_counter % log_interval == 0
+                        or do_sample or do_save
+                        or self.total_step_counter >= total)
+            if not boundary:
+                continue
+
+            # ---- the only host sync in the loop
+            drained = pending.drain()
+            for _, m in drained:
+                self.metrics.log_dict(m)
+            profiler.stop(n_steps=len(drained))
+            log = self.metrics.pop()
+            log["time"] = self.timer.hit() / max(1, len(drained))
+            log.update(profiler.report())
+            if do_sample:
                 log.update(self.eval_step(state, sample_loader, sampler))
             self.logger.log(log, step=self.total_step_counter)
-
-            if self.total_step_counter % self.train_cfg.save_interval == 0:
+            if do_save:
                 self.save(state)
+            # eval/save time is excluded from the next window's step timing
+            self.timer.reset()
+            profiler.start()
         from ..utils.checkpoints import wait_for_checkpoints
         wait_for_checkpoints()
         return state

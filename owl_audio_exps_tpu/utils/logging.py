@@ -60,6 +60,31 @@ class LogHelper:
         return out
 
 
+class DeferredMetrics:
+    """Device-side metric buffer: the train loop appends raw jax scalars
+    every step (no host sync — async dispatch keeps running ahead) and
+    only converts to floats at the logging cadence, so the host blocks
+    once per window instead of once per step (VERDICT.md Weak #8).
+    """
+
+    def __init__(self):
+        self._pending = []  # (step_idx, {key: device_scalar})
+
+    def append(self, step_idx: int, metrics: Dict):
+        self._pending.append((step_idx, metrics))
+
+    def __len__(self):
+        return len(self._pending)
+
+    def drain(self):
+        """Blocks on the buffered device values; returns
+        [(step_idx, {key: float})] and clears the buffer."""
+        out = [(s, {k: float(v) for k, v in m.items()})
+               for s, m in self._pending]
+        self._pending.clear()
+        return out
+
+
 class ExperimentLogger:
     """wandb if available, else JSONL + stdout. Rank-0 only
     (reference: owl_wms/trainers/base.py:26-43)."""

@@ -90,12 +90,18 @@ class MFUProfiler:
         self._steps += n_steps
         self._t0 = None
 
-    def report(self) -> dict:
+    def report(self, reset: bool = True) -> dict:
+        """Window-local stats: by default counters reset after each report
+        so every log line reflects the steps since the previous one
+        (cumulative averaging would smear compile time over the run)."""
         if self._steps == 0 or self._elapsed == 0:
             return {}
         sec_per_step = self._elapsed / self._steps
         tflops = self.flops_per_step / sec_per_step / 1e12
         n_chips = jax.device_count()
+        if reset:
+            self._steps = 0
+            self._elapsed = 0.0
         return {
             "perf/sec_per_step": sec_per_step,
             "perf/tokens_per_sec": self.batch_tokens / sec_per_step,

@@ -35,3 +35,26 @@ def test_latest_step_dir(tmp_path):
         os.makedirs(tmp_path / f"step_{s}")
     os.makedirs(tmp_path / "other")
     assert latest_step_dir(str(tmp_path)).endswith("step_30")
+
+
+def test_deferred_metrics_is_lazy():
+    """The train loop must not block per step: append must not touch the
+    values; only drain() converts (VERDICT.md Weak #8)."""
+    from owl_audio_exps_tpu.utils.logging import DeferredMetrics
+
+    class Lazy:
+        calls = 0
+
+        def __float__(self):
+            Lazy.calls += 1
+            return 1.0
+
+    dm = DeferredMetrics()
+    dm.append(1, {"a": Lazy()})
+    dm.append(2, {"a": Lazy()})
+    assert Lazy.calls == 0, "append converted eagerly (host sync per step)"
+    out = dm.drain()
+    assert Lazy.calls == 2
+    assert [s for s, _ in out] == [1, 2]
+    assert out[0][1]["a"] == 1.0
+    assert len(dm) == 0

@@ -78,6 +78,60 @@ def test_sharded_train_step_2x2x2():
         "optimizer state not sharded like params"
 
 
+@pytest.mark.parametrize("trainer_id", ["causvid_vid", "sforce_vid"])
+def test_distill_trainers_sharded_2x2x2(tmp_path, trainer_id):
+    """Distillation triple on a real 3-axis mesh: sharded params, sharded
+    batch stacks, finite losses (VERDICT.md Weak #2 — the reference runs
+    distillation under DDP, causvid_vid_only.py:416-418)."""
+    from owl_audio_exps_tpu.configs import Config
+    from owl_audio_exps_tpu.trainers import get_trainer_cls
+
+    cfg = Config.from_dict({
+        "model": {
+            "model_id": "game_rft", "n_layers": 2, "n_heads": 2,
+            "d_model": 32, "channels": 4, "sample_size": 2,
+            "tokens_per_frame": 4, "n_frames": 8, "n_buttons": 3,
+            "causal": True, "uncond": False, "has_audio": False,
+            "rope_impl": "ortho", "local_window": 2, "global_window": None,
+            "cfg_prob": 0.0,
+        },
+        "train": {
+            "trainer_id": trainer_id, "data_id": "synthetic_latent",
+            "data_kwargs": {"window_length": 4, "channels": 4,
+                            "sample_size": 2, "n_buttons": 3},
+            "mesh": {"data": 2, "fsdp": 2, "tensor": 2},
+            "target_batch_size": 4, "batch_size": 4, "epochs": 1,
+            "opt": "AdamW", "opt_kwargs": {"lr": 1e-3},
+            "d_opt_kwargs": {"lr": 1e-3},
+            "checkpoint_dir": str(tmp_path / "ckpt"),
+            "save_interval": 1000, "sample_interval": 1000,
+            "vae_scale": 1.0, "update_ratio": 1,
+            "rollout_steps": 2, "min_rollout_frames": 2,
+        },
+        "wandb": {"run_name": f"test_sharded_{trainer_id}"},
+    })
+    trainer = get_trainer_cls(trainer_id)(cfg)
+    assert dict(trainer.mesh.shape) == {"data": 2, "fsdp": 2, "tensor": 2}
+    state = trainer.train(max_steps=2)
+    assert int(state.step) == 2
+
+    def strict_shard(x):
+        return (hasattr(x, "sharding")
+                and x.addressable_shards[0].data.shape != x.shape)
+
+    for name, tree in (("student", state.student_params),
+                       ("critic", state.critic_params),
+                       ("teacher", trainer.teacher_params)):
+        leaves = jax.tree.leaves(tree)
+        assert all(bool(jnp.isfinite(l).all()) for l in leaves), \
+            f"{name} params non-finite"
+        assert any(strict_shard(l) for l in leaves), \
+            f"{name} params silently replicated"
+    assert any(strict_shard(l) for l in jax.tree.leaves(state.student_opt)
+               if getattr(l, "ndim", 0) >= 2), \
+        "student optimizer state not sharded"
+
+
 def test_sharding_rules_qkv_and_row_parallel():
     """Rule-level checks against a 2x2x2 mesh (no compile needed)."""
     import numpy as np
