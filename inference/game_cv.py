@@ -1,107 +1,241 @@
 """Interactive game loop: keyboard/mouse -> streaming pipeline -> display.
 
-Reference: inference/game_cv.py:25-223 (X11 + XPutImage). Display backends
-are gated: X11 via python-xlib when available, else an offscreen headless
-loop that exercises the full pipeline and reports FPS/latency — the
-serve-loop stats of the reference (game_cv.py:200-215) either way.
+Reference: inference/game_cv.py:25-223 (python-xlib window + XPutImage
+blit at a 60 FPS target, keymap W A S D LSHIFT SPACE R F E + LMB/RMB,
+y/u buffer resets, o/i sampling-step adjustment, Escape/q quit).
 
-Keybinds (reference: owl_wms/utils/vis.py:6 + game_cv.py):
-  W A S D LSHIFT SPACE R F E LMB RMB; y/u reset buffers, o/i adjust steps.
+Structure here: ``GameCV`` owns the input-mapping / loop / stats logic
+against a small display-backend interface, so the event handling is unit
+testable with a fake backend; ``X11Backend`` implements that interface
+with python-xlib when it and $DISPLAY exist; ``HeadlessBackend``
+exercises the full pipeline loop without a display (FPS/latency stats
+either way, reference game_cv.py:200-215).
 """
 
 from __future__ import annotations
 
-import sys
 import time
+from typing import List, Optional, Tuple
 
 import numpy as np
 
 KEYBINDS = ["W", "A", "S", "D", "LSHIFT", "SPACE", "R", "F", "E",
             "LMB", "RMB"]
 
+# key name -> slot in the 11-button vector (reference game_cv.py:27-39)
+KEYMAP = {
+    "w": 0, "a": 1, "s": 2, "d": 3, "shift_l": 4, "space": 5,
+    "r": 6, "f": 7, "e": 8,
+}
+# X11 pointer buttons (reference _handle_button: 1 = LMB -> 9, 3 = RMB -> 10)
+BUTTONMAP = {1: 9, 3: 10}
 
-class GameCV:
-    def __init__(self, pipeline, fps: int = 60, mouse_scale: float = 1.0,
-                 mouse_clamp: float = 20.0, headless: bool = None):
-        self.pipeline = pipeline
-        self.fps = fps  # reference: game_cv.py:41 (60 FPS target)
-        self.mouse_scale = mouse_scale
-        self.mouse_clamp = mouse_clamp
-        self.button_state = np.zeros(len(KEYBINDS), dtype=bool)
-        self.mouse_delta = np.zeros(2, dtype=np.float32)
-        if headless is None:
-            headless = not self._x11_available()
-        self.headless = headless
 
-    @staticmethod
-    def _x11_available() -> bool:
+class HeadlessBackend:
+    """No-display backend: no events, no blit — drives the pipeline loop
+    for RTF/latency measurement on servers."""
+
+    def poll_events(self) -> List[tuple]:
+        return []
+
+    def query_pointer(self) -> Tuple[int, int]:
+        return (0, 0)
+
+    def blit(self, frame: np.ndarray):
+        pass
+
+    def close(self):
+        pass
+
+
+class X11Backend:
+    """python-xlib window; normalizes events to
+    ("key", name, pressed) / ("button", n, pressed) / ("close",)."""
+
+    def __init__(self, width: int = 640, height: int = 360, display=None):
+        import Xlib.display
+        from Xlib import X, Xatom
+
+        self._X = X
+        self.width, self.height = width, height
+        self.disp = display or Xlib.display.Display()
+        screen = self.disp.screen()
+        self.win = screen.root.create_window(
+            0, 0, width, height, 0,
+            screen.root_depth, X.InputOutput, X.CopyFromParent,
+            background_pixel=screen.black_pixel,
+            event_mask=(X.ExposureMask | X.KeyPressMask | X.KeyReleaseMask
+                        | X.ButtonPressMask | X.ButtonReleaseMask
+                        | X.PointerMotionMask | X.StructureNotifyMask))
+        self.win.set_wm_name("owl game - X11")
+        self.gc = self.win.create_gc()
+        self.win.map()
+        self.WM_DELETE = self.disp.intern_atom("WM_DELETE_WINDOW")
+        self.win.change_property(self.disp.intern_atom("WM_PROTOCOLS"),
+                                 Xatom.ATOM, 32, [self.WM_DELETE])
+
+    def poll_events(self) -> List[tuple]:
+        from Xlib import X, XK
+        out = []
+        while self.disp.pending_events():
+            ev = self.disp.next_event()
+            if ev.type == X.ClientMessage and ev.data[0] == self.WM_DELETE:
+                out.append(("close",))
+            elif ev.type in (X.KeyPress, X.KeyRelease):
+                keysym = self.disp.keycode_to_keysym(ev.detail, 0)
+                name = XK.keysym_to_string(keysym)
+                if name is None:  # non-printable (Shift_L, space, Escape)
+                    for cand in ("Shift_L", "space", "Escape"):
+                        if keysym == XK.string_to_keysym(cand):
+                            name = cand
+                            break
+                if name is not None:
+                    out.append(("key", name.lower(),
+                                ev.type == X.KeyPress))
+            elif ev.type in (X.ButtonPress, X.ButtonRelease):
+                out.append(("button", ev.detail,
+                            ev.type == X.ButtonPress))
+        return out
+
+    def query_pointer(self) -> Tuple[int, int]:
+        ptr = self.win.query_pointer()
+        return (ptr.win_x, ptr.win_y)
+
+    def blit(self, frame: np.ndarray):
+        """frame: [H, W, 3] uint8 RGB -> chunked XPutImage
+        (reference _draw_frame, game_cv.py:137-157; packing fixed to the
+        standard X true-color 0x00RRGGBB pixel value — the reference's
+        byte order displays with R/B swapped on standard visuals)."""
+        X = self._X
+        f = frame.astype(np.uint32)
+        packed = (f[:, :, 0] << 16) | (f[:, :, 1] << 8) | f[:, :, 2]
+        data = packed.astype("<u4").tobytes()
+        stride = self.width * 4
+        chunk_rows = 64
+        for y in range(0, self.height, chunk_rows):
+            h = min(chunk_rows, self.height - y)
+            off = y * stride
+            self.win.put_image(self.gc, 0, y, self.width, h,
+                               X.ZPixmap, 24, 0,
+                               data[off: off + h * stride])
+        self.disp.flush()
+
+    def close(self):
+        self.disp.close()
+
+
+def make_backend(width: int = 640, height: int = 360, headless=None):
+    if headless is None:
+        import os
         try:
             import Xlib.display  # noqa: F401
-            import os
-            return bool(os.environ.get("DISPLAY"))
+            headless = not bool(os.environ.get("DISPLAY"))
         except ImportError:
-            return False
+            headless = True
+    if headless:
+        return HeadlessBackend()
+    return X11Backend(width, height)
+
+
+class GameCV:
+    """Input mapping + 60 FPS loop + stats (backend-agnostic)."""
+
+    def __init__(self, pipeline, backend=None, fps: int = 60,
+                 mouse_scale: float = 0.01, headless: Optional[bool] = None):
+        self.pipeline = pipeline
+        self.backend = backend or make_backend(headless=headless)
+        self.fps = fps  # reference: game_cv.py:41 (60 FPS target)
+        self.mouse_scale = mouse_scale
+        self.button_state = np.zeros(len(KEYBINDS), dtype=bool)
+        self.last_mouse_pos: Optional[Tuple[int, int]] = None
+        self.running = True
+
+    # ------------------------------------------------------------ events
+    def handle_event(self, ev: tuple):
+        kind = ev[0]
+        if kind == "close":
+            self.running = False
+        elif kind == "key":
+            _, name, pressed = ev
+            if pressed and name in ("escape", "q"):
+                self.running = False
+                return
+            if pressed:  # pipeline control keys (reference _handle_key)
+                if name == "y" and hasattr(self.pipeline, "init_buffers"):
+                    self.pipeline.init_buffers()
+                elif name == "u" and hasattr(self.pipeline,
+                                             "restart_from_buffer"):
+                    self.pipeline.restart_from_buffer()
+                elif name == "o" and hasattr(self.pipeline,
+                                             "up_sampling_steps"):
+                    self.pipeline.up_sampling_steps()
+                elif name == "i" and hasattr(self.pipeline,
+                                             "down_sampling_steps"):
+                    self.pipeline.down_sampling_steps()
+            if name in KEYMAP:
+                self.button_state[KEYMAP[name]] = pressed
+        elif kind == "button":
+            _, n, pressed = ev
+            if n in BUTTONMAP:
+                self.button_state[BUTTONMAP[n]] = pressed
 
     def poll_events(self):
-        """X11 event pump -> button/mouse state (reference:
-        game_cv.py:167-182). Headless mode leaves inputs untouched."""
-        if self.headless:
-            return
-        # X11 path: translated key events into self.button_state and
-        # accumulated pointer deltas into self.mouse_delta
-        import Xlib.display
-        # (connection is created lazily once)
-        if not hasattr(self, "_display"):
-            self._display = Xlib.display.Display()
-        # minimal pump; full key mapping mirrors KEYBINDS
-        while self._display.pending_events():
-            self._display.next_event()
+        for ev in self.backend.poll_events():
+            self.handle_event(ev)
 
-    def run(self, max_ticks: int = None):
-        """60 FPS loop with per-second FPS + latency stats
-        (reference: game_cv.py:165-217)."""
+    def mouse_delta(self) -> np.ndarray:
+        """Pointer delta scaled + clamped to [-1, 1]
+        (reference _mouse_delta, game_cv.py:111-124)."""
+        pos = self.backend.query_pointer()
+        if self.last_mouse_pos is None:
+            self.last_mouse_pos = pos
+            return np.zeros(2, dtype=np.float32)
+        dx = (pos[0] - self.last_mouse_pos[0]) * self.mouse_scale
+        dy = (pos[1] - self.last_mouse_pos[1]) * self.mouse_scale
+        self.last_mouse_pos = pos
+        return np.clip(np.asarray([dx, dy], np.float32), -1.0, 1.0)
+
+    # -------------------------------------------------------------- loop
+    def run(self, max_ticks: Optional[int] = None) -> int:
         frame_budget = 1.0 / self.fps
         tick = 0
         stats_t0 = time.perf_counter()
         frames_in_sec = 0
         model_times = []
 
-        while max_ticks is None or tick < max_ticks:
+        while self.running and (max_ticks is None or tick < max_ticks):
             t_start = time.perf_counter()
             self.poll_events()
-            mouse = np.clip(self.mouse_delta * self.mouse_scale,
-                            -self.mouse_clamp, self.mouse_clamp)
-            self.mouse_delta[:] = 0
+            if not self.running:
+                break
+            mouse = self.mouse_delta()
 
-            frame, audio, model_time = self.pipeline(
-                mouse, self.button_state.astype(np.float32))
+            out = self.pipeline(mouse, self.button_state.astype(np.float32))
+            frame, _audio, model_time = out
             model_times.append(model_time)
-            self.display(frame)
+            if frame is not None:
+                self.backend.blit(np.asarray(frame))
 
             tick += 1
             frames_in_sec += 1
             now = time.perf_counter()
             if now - stats_t0 >= 1.0:
                 p50 = float(np.median(model_times)) if model_times else 0.0
-                print(f"fps={frames_in_sec} model_p50={p50 * 1e3:.1f}ms",
+                steps = getattr(self.pipeline, "sampling_steps", None)
+                print(f"fps={frames_in_sec} model_p50={p50 * 1e3:.1f}ms"
+                      + (f" steps={steps}" if steps is not None else ""),
                       flush=True)
                 stats_t0, frames_in_sec, model_times = now, 0, []
 
             remaining = frame_budget - (now - t_start)
             if remaining > 0:
                 time.sleep(remaining)
+        self.backend.close()
         return tick
-
-    def display(self, frame):
-        if self.headless:
-            return
-        # X11 blit (XPutImage) — requires a live display
-        pass
 
 
 if __name__ == "__main__":
-    # offline smoke test mirroring inference/test_x11.py + the pipeline
-    # __main__ block (causvid_pipeline.py:166-189)
+    import sys
     sys.path.insert(0, "..")
-    print("GameCV headless smoke test requires a built pipeline; see "
+    print("GameCV requires a built pipeline; see inference/pipeline.py and "
           "inference/test_sampling.py")

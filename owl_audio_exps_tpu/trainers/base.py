@@ -197,6 +197,16 @@ class BaseTrainer:
                 grads = jax.tree.map(lambda g: g * scale, grads)
                 metrics = dict(metrics, grad_norm=gnorm)
 
+            # wandb.watch-grade telemetry (reference:
+            # rft_trainer.py:155-156); scalars/histograms ride the
+            # deferred-metrics path — no extra host syncs
+            watch = self.train_cfg.get("watch")
+            if watch:
+                from ..utils.telemetry import watch_metrics
+                metrics = dict(metrics, **watch_metrics(
+                    state.params, grads, watch,
+                    bins=int(self.train_cfg.get("watch_bins") or 64)))
+
             updates, opt_state = tx.update(grads, state.opt_state,
                                            state.params)
             params = optax.apply_updates(state.params, updates)

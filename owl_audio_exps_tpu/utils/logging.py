@@ -37,6 +37,11 @@ class LogHelper:
         self._counts: Dict[str, int] = {}
 
     def log(self, key: str, value):
+        if np.ndim(value) > 0:  # histogram vectors etc.: last value wins
+            if not hasattr(self, "_arrays"):
+                self._arrays = {}
+            self._arrays[key] = np.asarray(value)
+            return
         v = float(value)
         self._sums[key] = self._sums.get(key, 0.0) + v
         self._counts[key] = self._counts.get(key, 0) + 1
@@ -57,6 +62,10 @@ class LogHelper:
             summed = multihost_utils.process_allgather(vals).sum(axis=0)
             out = {k: float(summed[i] / jax.process_count())
                    for i, k in enumerate(keys)}
+        # array-valued telemetry (histograms): rank-local, last value wins
+        if getattr(self, "_arrays", None):
+            out.update(self._arrays)
+            self._arrays = {}
         return out
 
 
@@ -78,8 +87,11 @@ class DeferredMetrics:
 
     def drain(self):
         """Blocks on the buffered device values; returns
-        [(step_idx, {key: float})] and clears the buffer."""
-        out = [(s, {k: float(v) for k, v in m.items()})
+        [(step_idx, {key: float | ndarray})] and clears the buffer."""
+        def host(v):
+            return np.asarray(v) if np.ndim(v) > 0 else float(v)
+
+        out = [(s, {k: host(v) for k, v in m.items()})
                for s, m in self._pending]
         self._pending.clear()
         return out
@@ -113,16 +125,37 @@ class ExperimentLogger:
     def log(self, metrics: Dict[str, float], step: Optional[int] = None):
         if not self.is_main:
             return
+        metrics = self._render_histograms(metrics)
         if self._wandb_run is not None:
             self._wandb_run.log(metrics, step=step)
         elif self._file is not None:
-            rec = {"step": step, "time": time.time(), **metrics}
+            rec = {"step": step, "time": time.time(),
+                   **{k: (v.tolist() if isinstance(v, np.ndarray) else v)
+                      for k, v in metrics.items()}}
             self._file.write(json.dumps(rec) + "\n")
             self._file.flush()
             scalars = {k: v for k, v in metrics.items()
                        if isinstance(v, (int, float))}
             print(f"[step {step}] " + " ".join(
                 f"{k}={v:.5g}" for k, v in scalars.items()), flush=True)
+
+    def _render_histograms(self, metrics: Dict) -> Dict:
+        """'watch_hist/<x>' count vectors (+ _lo/_hi range scalars from
+        utils/telemetry.py) become wandb.Histogram in wandb mode; other
+        sinks keep the raw counts."""
+        if self._wandb_run is None:
+            return metrics
+        out = dict(metrics)
+        for key in list(out):
+            if key.startswith("watch_hist/") and np.ndim(out[key]) > 0:
+                counts = np.asarray(out.pop(key))
+                lo = float(out.pop(f"{key}_lo", 0.0))
+                hi = float(out.pop(f"{key}_hi", 1.0))
+                edges = np.linspace(lo, max(hi, lo + 1e-12),
+                                    len(counts) + 1)
+                out[key] = _wandb.Histogram(
+                    np_histogram=(counts, edges))
+        return out
 
     def log_media(self, key: str, payload, step: Optional[int] = None):
         """Media logging (videos/audio). With wandb present mirrors the

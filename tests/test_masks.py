@@ -1,14 +1,13 @@
 """Mask semantics tests — dense mask vs a brute-force oracle of the
-reference mask_mod (reference: owl_wms/nn/attn.py:43-58), plus
-block-sparsity metadata consistency."""
+reference mask_mod (reference: owl_wms/nn/attn.py:43-58) and the
+ring-cache decode mask."""
 
 import numpy as np
 import jax.numpy as jnp
 import pytest
 
 from owl_audio_exps_tpu.ops.masks import (
-    dense_mask, block_sparsity, decode_mask_from_cache,
-    BLOCK_SKIP, BLOCK_FULL, BLOCK_PARTIAL,
+    dense_mask, decode_mask_from_cache,
 )
 
 
@@ -52,27 +51,6 @@ def test_dense_mask_doc_id():
     got = np.asarray(dense_mask(32, 4, None, jnp.asarray(doc), 0, True))
     want = oracle(32, 4, None, doc, 0, True)
     np.testing.assert_array_equal(got, want)
-
-
-@pytest.mark.parametrize("causal,window", [(True, None), (True, 2), (False, 3)])
-def test_block_sparsity_consistent_with_dense(causal, window):
-    n_tokens, tpf, bq, bk = 64, 4, 8, 8
-    status, kv_start, kv_count = block_sparsity(
-        n_tokens, n_tokens, tpf, bq, bk, window, 0, causal)
-    dense = np.asarray(dense_mask(n_tokens, tpf, window, None, 0, causal))
-    n_qb, n_kvb = status.shape
-    for i in range(n_qb):
-        for j in range(n_kvb):
-            tile = dense[i * bq:(i + 1) * bq, j * bk:(j + 1) * bk]
-            if status[i, j] == BLOCK_SKIP:
-                assert not tile.any(), (i, j)
-            elif status[i, j] == BLOCK_FULL:
-                assert tile.all(), (i, j)
-            else:
-                assert tile.any(), (i, j)
-            # kv_start/count covers every non-skip block
-            if tile.any():
-                assert kv_start[i] <= j < kv_start[i] + kv_count[i]
 
 
 def test_decode_mask_matches_dense_concat():
