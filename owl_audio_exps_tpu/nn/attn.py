@@ -116,12 +116,15 @@ def build_masks(
         glob = dense_mask(q_len, tpf, global_w, doc_id, 0, causal)
         return local, glob
 
+    # local layers may live in the split small ring — their masks index
+    # that ring's slots, not the global ring's
     rel = kv_cache.slot_rel_idx()
     length = kv_cache.length
+    lrel = kv_cache.slot_rel_idx(local=True)
+    llength = kv_cache.ring_view(True)[3]
     if decoding:
         # masks skipped in the reference; visibility = valid slots (+ the
         # new tokens), local layers sliced to trailing local_window frames.
-        q_abs = length + jnp.arange(q_len, dtype=jnp.int32)
         valid = jnp.concatenate(
             [(rel < length), jnp.ones((q_len,), dtype=bool)])
         glob = jnp.broadcast_to(valid[None, :],
@@ -129,14 +132,20 @@ def build_masks(
         if allow_local_gather and can_local_gather(config, q_len, kv_cache):
             local = None  # signals the O(window) gather path in Attn
         elif local_w is not None:
-            kv_order = jnp.concatenate([rel, q_abs])
-            cutoff = length + q_len - local_w * tpf
-            local = glob & (kv_order >= cutoff)[None, :]
+            q_abs = llength + jnp.arange(q_len, dtype=jnp.int32)
+            kv_order = jnp.concatenate([lrel, q_abs])
+            lvalid = jnp.concatenate(
+                [(lrel < llength), jnp.ones((q_len,), dtype=bool)])
+            cutoff = llength + q_len - local_w * tpf
+            local = (lvalid & (kv_order >= cutoff))[None, :]
+            local = jnp.broadcast_to(local,
+                                     (q_len, lrel.shape[0] + q_len))
         else:
             local = glob
         return local, glob
 
-    local = decode_mask_from_cache(rel, length, q_len, tpf, local_w, causal)
+    local = decode_mask_from_cache(lrel, llength, q_len, tpf, local_w,
+                                   causal)
     glob = decode_mask_from_cache(rel, length, q_len, tpf, global_w, causal)
     return local, glob
 
@@ -183,26 +192,13 @@ def cached_attention(cfg, layer_idx: int, local: bool, dtype,
         local_w = cfg.get("local_window")
         if mask is None and local and can_local_gather(cfg, L, kv_cache):
             # decode fast path: a local layer sees only the trailing
-            # local_window frames of [cache | current] — gather that
-            # window from the ring instead of attending over the full
-            # capacity (the reference's K/V slice, owl_wms/nn/attn.py:
-            # 102-104, turned into an O(window) gather)
+            # local_window frames of [cache | current] — a contiguous
+            # shadow-mirrored slice of its ring (the reference's K/V
+            # slice, owl_wms/nn/attn.py:102-104; dynamic gathers are
+            # pathologically slow on TPU, scripts/tpu_sampler_bisect3.py)
             n_gather = local_w * tpf - L
-            rel0 = kv_cache.length - n_gather
-            rel = rel0 + jnp.arange(n_gather, dtype=jnp.int32)
-            gather_valid = (rel >= 0) & (rel < kv_cache.length)
-            ck, cv = kv_cache.read_layer(layer_idx)
-            if kv_cache.shadow >= n_gather:
-                # shadow-mirrored ring: the trailing window is one
-                # contiguous slice (dynamic gathers are pathologically
-                # slow on TPU — scripts/tpu_sampler_bisect3.py)
-                win = jnp.mod(kv_cache.start + rel0, kv_cache.capacity)
-                gk = jax.lax.dynamic_slice_in_dim(ck, win, n_gather, axis=2)
-                gv = jax.lax.dynamic_slice_in_dim(cv, win, n_gather, axis=2)
-            else:
-                slots = jnp.mod(kv_cache.start + rel, kv_cache.capacity)
-                gk = jnp.take(ck, slots, axis=2)   # [B, H, n_gather, Dh]
-                gv = jnp.take(cv, slots, axis=2)
+            gk, gv, gather_valid = kv_cache.gather_trailing(
+                layer_idx, n_gather, local=True)
             k = jnp.concatenate([gk.astype(k.dtype), k], axis=2)
             v = jnp.concatenate([gv.astype(v.dtype), v], axis=2)
             mask = jnp.concatenate(
@@ -343,7 +339,38 @@ class DiT(nn.Module):
 
         # remat whenever configured and uncached: free in fwd-only calls
         # (nothing recomputes without a backward pass), essential for long-
-        # context training memory (reference: owl_wms/nn/attn.py:187-188)
+        # context training memory (reference: owl_wms/nn/attn.py:187-188).
+        # remat_granularity 'group' checkpoints one local/global period
+        # (local_idx blocks) at a time: n_layers/local_idx saved residuals
+        # instead of n_layers — the difference between fitting and OOMing
+        # the 98k-token dit_v4 config on a 16 GB chip.
+        if (cfg.get("gradient_checkpointing", False) and kv_cache is None
+                and cfg.get("remat_granularity") == "group"):
+            K = cfg.get("local_idx", 4) or 4
+
+            # nested remat: the group checkpoint saves only group inputs
+            # (L/K residuals); per-block remat inside keeps the group's
+            # backward from materializing every block's 4d-wide MLP
+            # hidden at once (1.1 GB each at 98k tokens)
+            inner_block = nn.remat(DiTBlock, static_argnums=(5, 6, 8))
+
+            def run_group(mdl, x, cond, lmask, gmask, doc_id, start):
+                for idx in range(start, min(start + K, cfg.n_layers)):
+                    local = flags[idx]
+                    x, _ = inner_block(
+                        cfg, idx, local, dtype=mdl.dtype,
+                        name=f"blocks_{idx}")(
+                        x, cond, lmask if local else gmask, None, False,
+                        splash, doc_id, False)
+                return x
+
+            run_group = nn.remat(run_group, static_argnums=(6,),
+                                 prevent_cse=False)
+            for start in range(0, cfg.n_layers, K):
+                x = run_group(self, x, cond, local_mask, global_mask,
+                              doc_id, start)
+            return x, kv_cache
+
         block_cls = DiTBlock
         if cfg.get("gradient_checkpointing", False) and kv_cache is None:
             block_cls = nn.remat(DiTBlock, static_argnums=(5, 6, 8))

@@ -1,4 +1,4 @@
-"""Static-shape ring-buffer KV cache.
+"""Static-shape ring-buffer KV cache with split per-layer-group capacity.
 
 TPU redesign of the reference's concat/truncate cache
 (reference: owl_wms/nn/kv_cache.py:12-104). The reference grows tensors by
@@ -6,13 +6,20 @@ concatenation and truncates by slicing — shape-dynamic and uncompilable
 under XLA. Here the cache is a **fixed-capacity ring buffer** carried as a
 pytree through ``lax.scan`` loops:
 
-* ``k``/``v``: [n_layers, b, n_heads, capacity, head_dim] — heads-major
+* ``k``/``v``: [L, b, n_heads, capacity(+shadow), head_dim] — heads-major
   so attention reads, ring writes, and the flash-decode kernel all use
   the same layout with no transposes; keys stored *already rotated* at
   their absolute write position, matching the reference which caches
   post-RoPE keys (owl_wms/nn/attn.py:87-97).
 * ``start``/``length``: ring window over slots. Insertion order index of a
   slot is ``rel = (slot - start) mod capacity``; valid iff ``rel < length``.
+* **Split local ring** (``lk``/``lv``): local-window layers only ever read
+  their trailing ``local_window`` frames (owl_wms/nn/attn.py:102-104), so
+  storing them at full context capacity is pure waste — with dit_v4's
+  12-local/4-global alternation a 65k-token context costs 6.4 GB
+  single-ring vs ~1.8 GB split. Local layers get a small ring of exactly
+  ``local_window`` frames (plus a wrap-mirror shadow); global layers keep
+  the full-capacity ring. Both rings share the write clock.
 * ``shadow``: the first ``shadow`` slots are mirrored past the end of the
   ring (alloc = capacity + shadow), so the trailing local-attention window
   is ALWAYS one contiguous slice — decode-mode local layers read it with a
@@ -27,7 +34,7 @@ pytree through ``lax.scan`` loops:
   frame ahead (owl_wms/sampling/av_window.py:228-233 relies on this).
 
 Reference op mapping:
-  update        -> ``update`` (scatter at (start+length+i) mod capacity)
+  update        -> ``update_all`` (one fused frame-aligned slice write)
   truncate(n, front=False) (evict oldest) -> ``pop_oldest``
   truncate(n, front=True)  (drop newest)  -> ``drop_newest``
   enable/disable_cache_updates -> static ``write`` flag on the model call
@@ -36,43 +43,125 @@ Reference op mapping:
 
 from __future__ import annotations
 
+from typing import Optional, Tuple
+
+import numpy as np
 import jax
 import jax.numpy as jnp
 from flax import struct
 
 
+def _ring_slice_write(buf, new, pos, shadow, tpf, capacity):
+    """Frame-aligned contiguous write at ``pos`` with wrap-mirror upkeep.
+
+    buf: [..., capacity + shadow, Dh]; new: [..., t, Dh] with t <=
+    capacity. start/length only move in whole frames, so pos is
+    frame-aligned and a write of t <= capacity tokens never exceeds the
+    allocation (shadow absorbs tail overhang); single-frame writes also
+    refresh the mirror slot.
+    """
+    t = new.shape[-2]
+    nd = buf.ndim
+    idx = (0,) * (nd - 2)
+    buf = jax.lax.dynamic_update_slice(buf, new.astype(buf.dtype),
+                                       idx + (pos, 0))
+    if shadow and t == tpf:
+        mirror = jnp.where(pos < shadow, capacity + pos, pos)
+        buf = jax.lax.dynamic_update_slice(buf, new.astype(buf.dtype),
+                                           idx + (mirror, 0))
+    return buf
+
+
 @struct.dataclass
 class KVCache:
-    k: jnp.ndarray          # [L, B, H, S, Dh]
-    v: jnp.ndarray          # [L, B, H, S, Dh]
-    start: jnp.ndarray      # int32 scalar — ring start slot
-    length: jnp.ndarray     # int32 scalar — valid token count
-    rope_offset: jnp.ndarray  # int32 scalar — monotonic write-position counter
+    k: jnp.ndarray          # global-group stack [Lg, B, H, Sg+shadow, Dh]
+    v: jnp.ndarray
+    start: jnp.ndarray      # int32 scalar — global ring start slot
+    length: jnp.ndarray     # int32 scalar — global valid token count
+    rope_offset: jnp.ndarray  # int32 scalar — monotonic write counter
+
+    # split local ring (None => every layer lives in the global ring)
+    lk: Optional[jnp.ndarray] = None  # [Ll, B, H, Sl+lshadow, Dh]
+    lv: Optional[jnp.ndarray] = None
+    lstart: Optional[jnp.ndarray] = None
+    llength: Optional[jnp.ndarray] = None
 
     # static metadata
     tokens_per_frame: int = struct.field(pytree_node=False, default=1)
     shadow: int = struct.field(pytree_node=False, default=0)
+    lshadow: int = struct.field(pytree_node=False, default=0)
+    # per-layer ring assignment: groups[i] == 1 -> local ring; slots[i] is
+    # the row inside that ring's stack. () == single-ring identity.
+    groups: tuple = struct.field(pytree_node=False, default=())
+    slots: tuple = struct.field(pytree_node=False, default=())
 
+    # ------------------------------------------------------------ geometry
     @property
     def capacity(self) -> int:
         return self.k.shape[3] - self.shadow
 
     @property
+    def local_capacity(self) -> int:
+        return 0 if self.lk is None else self.lk.shape[3] - self.lshadow
+
+    @property
+    def split(self) -> bool:
+        return self.lk is not None
+
+    @property
     def n_layers(self) -> int:
-        return self.k.shape[0]
+        return len(self.groups) if self.groups else self.k.shape[0]
+
+    def is_local_layer(self, layer_idx: int) -> bool:
+        return bool(self.groups) and self.groups[layer_idx] == 1
+
+    def ring_view(self, local: bool):
+        """(capacity, shadow, start, length) of the ring a layer reads."""
+        if local and self.split:
+            return (self.local_capacity, self.lshadow, self.lstart,
+                    self.llength)
+        return (self.capacity, self.shadow, self.start, self.length)
 
     # ---------------------------------------------------------------- init
     @classmethod
     def create(cls, n_layers: int, batch_size: int, capacity: int,
                n_heads: int, head_dim: int, tokens_per_frame: int = 1,
-               dtype=jnp.bfloat16, shadow: int = 0) -> "KVCache":
-        shape = (n_layers, batch_size, n_heads, capacity + shadow, head_dim)
+               dtype=jnp.bfloat16, shadow: int = 0,
+               local_flags: Optional[Tuple[bool, ...]] = None,
+               local_capacity: int = 0) -> "KVCache":
         zero = jnp.zeros((), dtype=jnp.int32)
+        split = (local_flags is not None and any(local_flags)
+                 and 0 < local_capacity < capacity)
+        if not split:
+            shape = (n_layers, batch_size, n_heads, capacity + shadow,
+                     head_dim)
+            return cls(
+                k=jnp.zeros(shape, dtype=dtype),
+                v=jnp.zeros(shape, dtype=dtype),
+                start=zero, length=zero, rope_offset=zero,
+                tokens_per_frame=tokens_per_frame, shadow=shadow,
+            )
+        groups = tuple(1 if f else 0 for f in local_flags)
+        slots, counters = [], [0, 0]
+        for g in groups:
+            slots.append(counters[g])
+            counters[g] += 1
+        n_global, n_local = counters[0], counters[1]
+        # local ring: window capacity + a (window - frame) wrap mirror so
+        # the trailing window is always one contiguous slice
+        lshadow = max(local_capacity - tokens_per_frame, 0)
+        gshape = (n_global, batch_size, n_heads, capacity, head_dim)
+        lshape = (n_local, batch_size, n_heads, local_capacity + lshadow,
+                  head_dim)
         return cls(
-            k=jnp.zeros(shape, dtype=dtype),
-            v=jnp.zeros(shape, dtype=dtype),
-            start=zero, length=zero, rope_offset=zero,
-            tokens_per_frame=tokens_per_frame, shadow=shadow,
+            k=jnp.zeros(gshape, dtype=dtype),
+            v=jnp.zeros(gshape, dtype=dtype),
+            lk=jnp.zeros(lshape, dtype=dtype),
+            lv=jnp.zeros(lshape, dtype=dtype),
+            start=zero, length=zero, lstart=zero, llength=zero,
+            rope_offset=zero,
+            tokens_per_frame=tokens_per_frame, shadow=0, lshadow=lshadow,
+            groups=groups, slots=tuple(slots),
         )
 
     @classmethod
@@ -81,35 +170,57 @@ class KVCache:
         """Build from a model config node (reference: KVCache(config) factory,
         owl_wms/nn/kv_cache.py:5-9). NB: config.tokens_per_frame already
         counts the per-frame audio token in AV configs (e.g. 65 = 8*8 + 1,
-        reference: configs/av_v4_8x8.yml:11)."""
+        reference: configs/av_v4_8x8.yml:11).
+
+        With a ``local_window`` and a dit/mmdit backbone, local-alternation
+        layers get the small split ring (disable with
+        ``split_local_cache: false``)."""
         tpf = config.tokens_per_frame
-        frames = capacity_frames if capacity_frames is not None else config.n_frames
+        frames = capacity_frames if capacity_frames is not None \
+            else config.n_frames
         capacity = frames * tpf
         local_w = config.get("local_window")
+        head_dim = config.d_model // config.n_heads
+
+        local_flags = None
+        local_capacity = 0
+        backbone = config.get("backbone", "dit")
+        if (local_w is not None and 0 < local_w * tpf < capacity
+                and backbone in ("dit", "mmdit")
+                and config.get("split_local_cache", True)):
+            local_idx = config.get("local_idx", 4) or 4
+            local_flags = tuple(
+                (i % local_idx != 0) for i in range(config.n_layers))
+            local_capacity = local_w * tpf
+
         shadow = 0
-        if local_w is not None and 0 < local_w * tpf < capacity:
-            shadow = local_w * tpf  # contiguous trailing-window reads
+        if (local_flags is None and local_w is not None
+                and 0 < local_w * tpf < capacity):
+            shadow = local_w * tpf  # single-ring contiguous window reads
         return cls.create(
             n_layers=config.n_layers,
             batch_size=batch_size,
             capacity=capacity,
             n_heads=config.n_heads,
-            head_dim=config.d_model // config.n_heads,
+            head_dim=head_dim,
             tokens_per_frame=tpf,
             dtype=dtype, shadow=shadow,
+            local_flags=local_flags,
+            local_capacity=local_capacity,
         )
 
     # ------------------------------------------------------------- queries
-    def slot_rel_idx(self) -> jnp.ndarray:
+    def slot_rel_idx(self, local: bool = False) -> jnp.ndarray:
         """[alloc] int32 — insertion-order index per slot (>= length ⇒
         invalid; shadow slots are always marked invalid)."""
-        S = self.capacity
-        slots = jnp.arange(S + self.shadow, dtype=jnp.int32)
-        rel = jnp.mod(slots - self.start, S)
-        return jnp.where(slots < S, rel, S)  # shadow slots: rel=S >= length
+        S, shadow, start, _ = self.ring_view(local)
+        slots = jnp.arange(S + shadow, dtype=jnp.int32)
+        rel = jnp.mod(slots - start, S)
+        return jnp.where(slots < S, rel, S)
 
     def write_positions(self, t: int) -> jnp.ndarray:
-        """RoPE positions for t new tokens (reference rope offset semantics)."""
+        """RoPE positions for t new tokens (reference rope offset
+        semantics)."""
         return self.rope_offset + jnp.arange(t, dtype=jnp.int32)
 
     def n_frames(self) -> jnp.ndarray:
@@ -119,132 +230,153 @@ class KVCache:
     def update_all(self, new_k: jnp.ndarray, new_v: jnp.ndarray) -> "KVCache":
         """Write t rotated tokens for ALL layers in one fused update.
 
-        new_k/new_v: [L, B, H, t, Dh]. One dynamic_update_slice per tensor
-        (vs one per layer) — per-layer updates defeat XLA's in-place
-        aliasing on large carried caches (measured 510 ms/write-forward at
-        a 32k-token cache, scripts/tpu_sampler_bisect3.py). Counters still
-        advance separately via ``advance(t)``.
+        new_k/new_v: [L, B, H, t, Dh] in layer order. One contiguous
+        dynamic_update_slice per ring tensor (per-layer updates defeat
+        XLA's in-place aliasing on large carried caches — measured 510
+        ms/write-forward at 32k tokens, scripts/tpu_sampler_bisect3.py).
+        Counters advance separately via ``advance(t)``.
         """
         t = new_k.shape[3]
         assert t <= self.capacity, (
             f"write of {t} tokens exceeds ring capacity "
             f"{self.capacity}; truncate the context first")
-        if (self.capacity % self.tokens_per_frame == 0
-                and t % self.tokens_per_frame == 0):
+        assert (self.capacity % self.tokens_per_frame == 0
+                and t % self.tokens_per_frame == 0), \
+            "ring writes must be frame-aligned"
+        tpf = self.tokens_per_frame
+
+        if not self.split:
             pos = jnp.mod(self.start + self.length, self.capacity)
-            k = jax.lax.dynamic_update_slice(
-                self.k, new_k.astype(self.k.dtype), (0, 0, 0, pos, 0))
-            v = jax.lax.dynamic_update_slice(
-                self.v, new_v.astype(self.v.dtype), (0, 0, 0, pos, 0))
-            if self.shadow and t == self.tokens_per_frame:
-                mirror = jnp.where(pos < self.shadow,
-                                   self.capacity + pos, pos)
-                k = jax.lax.dynamic_update_slice(
-                    k, new_k.astype(k.dtype), (0, 0, 0, mirror, 0))
-                v = jax.lax.dynamic_update_slice(
-                    v, new_v.astype(v.dtype), (0, 0, 0, mirror, 0))
+            k = _ring_slice_write(self.k, new_k, pos, self.shadow, tpf,
+                                  self.capacity)
+            v = _ring_slice_write(self.v, new_v, pos, self.shadow, tpf,
+                                  self.capacity)
             return self.replace(k=k, v=v)
 
-        slots = jnp.mod(self.start + self.length + jnp.arange(t, dtype=jnp.int32),
-                        self.capacity)
-        k = self.k.at[:, :, :, slots].set(
-            jnp.moveaxis(new_k, 3, 0).astype(self.k.dtype))
-        v = self.v.at[:, :, :, slots].set(
-            jnp.moveaxis(new_v, 3, 0).astype(self.v.dtype))
-        return self.replace(k=k, v=v)
+        gi = np.asarray([i for i, g in enumerate(self.groups) if g == 0])
+        li = np.asarray([i for i, g in enumerate(self.groups) if g == 1])
+        gk, gv = new_k[gi], new_v[gi]
+        lk_new, lv_new = new_k[li], new_v[li]
 
-    def update_layer(self, layer_idx: int, new_k: jnp.ndarray,
-                     new_v: jnp.ndarray) -> "KVCache":
-        """Write t rotated tokens for one layer at the ring head.
+        pos = jnp.mod(self.start + self.length, self.capacity)
+        k = _ring_slice_write(self.k, gk, pos, self.shadow, tpf,
+                              self.capacity)
+        v = _ring_slice_write(self.v, gv, pos, self.shadow, tpf,
+                              self.capacity)
 
-        new_k/new_v: [B, H, t, Dh] (attention layout — no transposes).
-        Does NOT advance counters — call ``advance(t)`` once after all
-        layers have written (the reference updates per-layer offsets
-        identically; a single shared counter is the same thing).
-        """
-        t = new_k.shape[2]
-        assert t <= self.capacity, (
-            f"write of {t} tokens exceeds ring capacity "
-            f"{self.capacity}; truncate the context first")
-        if (self.capacity % self.tokens_per_frame == 0
-                and t % self.tokens_per_frame == 0):
-            # Frame-aligned fast path: start/length only ever move in whole
-            # frames, so the write position is frame-aligned and a write of
-            # t <= capacity tokens never wraps the ring — a contiguous
-            # dynamic_update_slice, which XLA aliases in place under scan
-            # (a general scatter forces a full cache copy per layer per
-            # write).
-            pos = jnp.mod(self.start + self.length, self.capacity)
-            k = jax.lax.dynamic_update_slice(
-                self.k, new_k[None].astype(self.k.dtype),
-                (layer_idx, 0, 0, pos, 0))
-            v = jax.lax.dynamic_update_slice(
-                self.v, new_v[None].astype(self.v.dtype),
-                (layer_idx, 0, 0, pos, 0))
-            if self.shadow and t == self.tokens_per_frame:
-                # maintain the wrap mirror: single-frame writes landing in
-                # [0, shadow) are duplicated at [S, S + shadow); writes
-                # elsewhere harmlessly rewrite themselves
-                mirror = jnp.where(pos < self.shadow,
-                                   self.capacity + pos, pos)
-                k = jax.lax.dynamic_update_slice(
-                    k, new_k[None].astype(k.dtype),
-                    (layer_idx, 0, 0, mirror, 0))
-                v = jax.lax.dynamic_update_slice(
-                    v, new_v[None].astype(v.dtype),
-                    (layer_idx, 0, 0, mirror, 0))
-            return self.replace(k=k, v=v)
-
-        slots = jnp.mod(self.start + self.length + jnp.arange(t, dtype=jnp.int32),
-                        self.capacity)
-        # advanced indexing on the slot axis; operand layout [t, B, H, Dh]
-        k = self.k.at[layer_idx, :, :, slots].set(
-            jnp.moveaxis(new_k, 2, 0).astype(self.k.dtype))
-        v = self.v.at[layer_idx, :, :, slots].set(
-            jnp.moveaxis(new_v, 2, 0).astype(self.v.dtype))
-        return self.replace(k=k, v=v)
+        cap_l = self.local_capacity
+        if t >= cap_l:
+            # prefill larger than the window: only the trailing window
+            # survives; lands at slot 0 (advance() resets the counters)
+            lk_new = lk_new[:, :, :, -cap_l:]
+            lv_new = lv_new[:, :, :, -cap_l:]
+            lpos = jnp.zeros((), jnp.int32)
+        else:
+            lpos = jnp.mod(self.lstart + self.llength, cap_l)
+        lk = _ring_slice_write(self.lk, lk_new, lpos, self.lshadow, tpf,
+                               cap_l)
+        lv = _ring_slice_write(self.lv, lv_new, lpos, self.lshadow, tpf,
+                               cap_l)
+        return self.replace(k=k, v=v, lk=lk, lv=lv)
 
     def advance(self, t: int) -> "KVCache":
-        """Commit t written tokens: grow length (evicting oldest on overflow)
-        and advance the monotonic rope offset."""
+        """Commit t written tokens: grow length (evicting oldest on
+        overflow) and advance the monotonic rope offset."""
         new_len = self.length + t
         overflow = jnp.maximum(new_len - self.capacity, 0)
-        return self.replace(
+        out = self.replace(
             start=jnp.mod(self.start + overflow, self.capacity),
             length=new_len - overflow,
             rope_offset=self.rope_offset + t,
         )
+        if self.split:
+            cap_l = self.local_capacity
+            if t >= cap_l:  # static: prefill wrote the trailing window at 0
+                out = out.replace(lstart=jnp.zeros((), jnp.int32),
+                                  llength=jnp.full((), cap_l, jnp.int32))
+            else:
+                nl = self.llength + t
+                over = jnp.maximum(nl - cap_l, 0)
+                out = out.replace(
+                    lstart=jnp.mod(self.lstart + over, cap_l),
+                    llength=nl - over)
+        return out
 
     def pop_oldest(self, n_frames: int) -> "KVCache":
         """Evict oldest frames (reference truncate(front=False),
         owl_wms/nn/kv_cache.py:58-75)."""
         t = n_frames * self.tokens_per_frame
         t = jnp.minimum(t, self.length)
-        return self.replace(
+        out = self.replace(
             start=jnp.mod(self.start + t, self.capacity),
             length=self.length - t,
         )
+        if self.split:
+            # local ring holds the newest tokens; it only shrinks when the
+            # remaining global context is shorter than the window
+            target = jnp.minimum(self.llength, out.length)
+            shrink = self.llength - target
+            out = out.replace(
+                lstart=jnp.mod(self.lstart + shrink, self.local_capacity),
+                llength=target)
+        return out
 
     def drop_newest(self, n_frames: int) -> "KVCache":
         """Drop newest frames; rope_offset intentionally NOT rewound
         (reference truncate(front=True) leaves offsets untouched)."""
         t = n_frames * self.tokens_per_frame
         t = jnp.minimum(t, self.length)
-        return self.replace(length=self.length - t)
+        out = self.replace(length=self.length - t)
+        if self.split:
+            lt = jnp.minimum(t, self.llength)
+            out = out.replace(llength=self.llength - lt)
+        return out
 
     def reset(self) -> "KVCache":
         zero = jnp.zeros((), dtype=jnp.int32)
-        return self.replace(start=zero, length=zero, rope_offset=zero)
+        out = self.replace(start=zero, length=zero, rope_offset=zero)
+        if self.split:
+            out = out.replace(lstart=zero, llength=zero)
+        return out
 
     # --------------------------------------------------------------- reads
     def read_layer(self, layer_idx: int, noise: float = 0.0,
                    rng: jax.Array = None):
-        """Return (k, v) [B, H, S, Dh] for a layer; optional gaussian cache
-        noising (reference: owl_wms/nn/kv_cache.py:44-48 noise_caches)."""
-        k = self.k[layer_idx]
-        v = self.v[layer_idx]
+        """Return (k, v) [B, H, alloc, Dh] for a layer; optional gaussian
+        cache noising (reference: owl_wms/nn/kv_cache.py:44-48
+        noise_caches)."""
+        if self.groups:
+            slot = self.slots[layer_idx]
+            if self.groups[layer_idx] == 1:
+                k, v = self.lk[slot], self.lv[slot]
+            else:
+                k, v = self.k[slot], self.v[slot]
+        else:
+            k, v = self.k[layer_idx], self.v[layer_idx]
         if noise > 0.0:
             rk, rv = jax.random.split(rng)
             k = k + noise * jax.random.normal(rk, k.shape, k.dtype)
             v = v + noise * jax.random.normal(rv, v.shape, v.dtype)
         return k, v
+
+    def gather_trailing(self, layer_idx: int, n_gather: int, local: bool):
+        """(k, v, valid) of the trailing ``n_gather`` insertion-order
+        tokens of a layer's ring — the decode-mode local-window read.
+        Contiguous via the shadow mirror when possible."""
+        cap, shadow, start, length = self.ring_view(local)
+        ck, cv = self.read_layer(layer_idx)
+        rel0 = length - n_gather
+        rel = rel0 + jnp.arange(n_gather, dtype=jnp.int32)
+        valid = (rel >= 0) & (rel < length)
+        if shadow >= n_gather - self.tokens_per_frame:
+            # frame-aligned win in [0, cap) => win + n_gather <= alloc;
+            # when the cache holds fewer tokens than the window (rel0 < 0)
+            # the wrapped-in slots are hidden by the valid mask
+            win = jnp.mod(start + rel0, cap)
+            gk = jax.lax.dynamic_slice_in_dim(ck, win, n_gather, axis=2)
+            gv = jax.lax.dynamic_slice_in_dim(cv, win, n_gather, axis=2)
+        else:
+            slots = jnp.mod(start + rel, cap)
+            gk = jnp.take(ck, slots, axis=2)
+            gv = jnp.take(cv, slots, axis=2)
+        return gk, gv, valid

@@ -122,6 +122,28 @@ def broadcast_cond(cond: jnp.ndarray, n_tokens: int) -> jnp.ndarray:
     return jnp.broadcast_to(cond[:, :, None, :], (b, n, m, d)).reshape(b, n_tokens, d)
 
 
+def modulate_tokens(x_norm: jnp.ndarray, a: jnp.ndarray,
+                    b_: jnp.ndarray) -> jnp.ndarray:
+    """x_norm * (1 + a) + b with per-frame a/b broadcast to per-token —
+    fused in a 4-D view so the token-resolution [b, n*m, 2d] modulation
+    tensor never materializes (at 98k tokens each such buffer is ~0.6 GB;
+    the broadcast fuses into the FMA instead)."""
+    b, nm, d = x_norm.shape
+    n = a.shape[1]
+    m = nm // n
+    x4 = x_norm.reshape(b, n, m, d)
+    out = x4 * (1.0 + a[:, :, None, :]) + b_[:, :, None, :]
+    return out.reshape(b, nm, d)
+
+
+def gate_tokens(x: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
+    """x * c with per-frame c broadcast to per-token (fused 4-D view)."""
+    b, nm, d = x.shape
+    n = c.shape[1]
+    m = nm // n
+    return (x.reshape(b, n, m, d) * c[:, :, None, :]).reshape(b, nm, d)
+
+
 class AdaLN(nn.Module):
     """scale/bias modulation from per-frame cond (AdaLN-zero style pre-norm).
 
@@ -135,9 +157,8 @@ class AdaLN(nn.Module):
     def __call__(self, x, cond):
         y = nn.silu(cond.astype(self.dtype))
         ab = Linear(2 * self.dim, dtype=self.dtype, name="fc")(y)  # [b, n, 2d]
-        ab = broadcast_cond(ab, x.shape[1])
-        a, b_ = jnp.split(ab, 2, axis=-1)
-        return rms_norm(x) * (1.0 + a) + b_
+        a, b_ = jnp.split(ab, 2, axis=-1)  # split BEFORE token broadcast
+        return modulate_tokens(rms_norm(x), a, b_)
 
 
 class Gate(nn.Module):
@@ -150,21 +171,18 @@ class Gate(nn.Module):
     def __call__(self, x, cond):
         y = nn.silu(cond.astype(self.dtype))
         c = Linear(self.dim, dtype=self.dtype, name="fc_c")(y)
-        c = broadcast_cond(c, x.shape[1])
-        return c * x
+        return gate_tokens(x, c)
 
 
 def cond_adaln(x, scale, bias):
     """Functional AdaLN for MMDiT shared-cond blocks
     (reference: owl_wms/nn/modulation.py:46-56)."""
-    scale = broadcast_cond(scale, x.shape[1])
-    bias = broadcast_cond(bias, x.shape[1])
-    return rms_norm(x) * (1.0 + scale) + bias
+    return modulate_tokens(rms_norm(x), scale, bias)
 
 
 def cond_gate(x, gate):
     """Functional gate for MMDiT (reference: owl_wms/nn/modulation.py:58-63)."""
-    return broadcast_cond(gate, x.shape[1]) * x
+    return gate_tokens(x, gate)
 
 
 class FinalLayer(nn.Module):

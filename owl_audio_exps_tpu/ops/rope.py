@@ -28,6 +28,7 @@ package the reference depends on ('pixel' and 'lang' freq families).
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 
@@ -183,27 +184,40 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray,
     F = rot features (may be < head_dim // 2 — un-rotated tail passes
     through); positions: [t] int32 absolute token indices.
 
-    Matches the reference pairing exactly: pairs are (x[2i], x[2i+1]) and
-    the output is the concatenation [y0 | y1] of the two rotated halves
-    (reference: owl_wms/nn/rope.py:47-51).
+    Layout note (TPU): the reference writes the rotated pairs as two
+    concatenated halves [y0 | y1] (owl_wms/nn/rope.py:47-51); here they
+    stay INTERLEAVED in place — out[2i] = x[2i]·c_i − x[2i+1]·s_i,
+    out[2i+1] = x[2i+1]·c_i + x[2i]·s_i. That is a fixed permutation of
+    the reference's feature order applied identically to q and k, so
+    attention scores (and therefore every model output) are unchanged —
+    while the kernel stays pure lane-wise math on [.., head_dim] tensors:
+    no [.., F, 2] pair tensor (whose tiny minor dim forced multi-GB
+    padded fp32 materializations at 98k tokens), just two lane rotations
+    fused into the surrounding elementwise chain. Rotation arithmetic is
+    float32 (reference: owl_wms/nn/rope.py:43 @autocast(enabled=False)).
     """
     in_dtype = x.dtype
-    t = x.shape[-2]
     d = x.shape[-1]
     f = cos.shape[-1]
-    c = jnp.take(cos, positions, axis=0)  # [t, F]
+    c = jnp.take(cos, positions, axis=0)  # [t, F] fp32
     s = jnp.take(sin, positions, axis=0)
 
-    xf = x.astype(jnp.float32)
-    pairs = xf[..., : 2 * f].reshape(*xf.shape[:-1], f, 2)
-    x0 = pairs[..., 0]
-    x1 = pairs[..., 1]
-    y0 = x0 * c - x1 * s
-    y1 = x1 * c + x0 * s
-    out = jnp.concatenate([y0, y1], axis=-1)
+    # duplicate tables to the interleaved layout: [c0,c0,c1,c1,...] and
+    # [-s0,+s0,-s1,+s1,...]
+    cc = jnp.repeat(c, 2, axis=-1)                       # [t, 2F]
+    ss = jnp.stack([-s, s], axis=-1).reshape(*s.shape[:-1], 2 * f)
+
+    xr = x[..., : 2 * f].astype(jnp.float32)
+    # pair swap as two lane rotations + select (pure vector-unit ops)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (2 * f,), 0)
+    even = (lane % 2 == 0)
+    swapped = jnp.where(even, jnp.roll(xr, -1, axis=-1),
+                        jnp.roll(xr, 1, axis=-1))
+    out = xr * cc + swapped * ss
+    out = out.astype(in_dtype)
     if 2 * f < d:
-        out = jnp.concatenate([out, xf[..., 2 * f:]], axis=-1)
-    return out.astype(in_dtype)
+        out = jnp.concatenate([out, x[..., 2 * f:]], axis=-1)
+    return out
 
 
 class RopeTable:

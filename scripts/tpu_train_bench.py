@@ -12,6 +12,7 @@ from owl_audio_exps_tpu.utils.mfu import MFUProfiler
 
 N_FRAMES = int(sys.argv[1]) if len(sys.argv) > 1 else 256
 B = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+OPT = sys.argv[3] if len(sys.argv) > 3 else "adamw"  # adamw | muon
 
 cfg = transformer_config(
     model_id="game_rft", sample_size=8, channels=128, n_layers=16,
@@ -19,6 +20,9 @@ cfg = transformer_config(
     cfg_prob=0.1, n_frames=max(N_FRAMES, 256), causal=True, uncond=False,
     backbone="dit", has_audio=False, rope_impl="motion",
     local_window=16, global_window=None, gradient_checkpointing=True,
+    # group-granular remat: 4x fewer saved residuals — required to fit
+    # the 1536-frame (98,304-token) reference config on one v5e chip
+    remat_granularity=os.environ.get("OWL_REMAT", "group"),
     scan_layers=os.environ.get("OWL_SCAN_LAYERS") == "1")
 model = GameRFT(cfg, dtype=jnp.bfloat16)
 rs = np.random.RandomState(0)
@@ -27,7 +31,15 @@ mouse = jnp.asarray(rs.randn(B, N_FRAMES, 2), jnp.bfloat16)
 btn = jnp.asarray(rs.rand(B, N_FRAMES, 11) > 0.5, jnp.bfloat16)
 params = model.init({"params": jax.random.key(0), "noise": jax.random.key(1)},
                     x, mouse, btn)["params"]
-tx = optax.adamw(1e-4)
+if OPT.lower() == "muon":
+    # the optimizer the reference actually trains with
+    # (owl_wms/muon.py:117-176 CombinedOptimizer); one momentum slot
+    from owl_audio_exps_tpu.muon import init_muon
+    tx = init_muon(params, lr=1e-4, momentum=0.95, adamw_lr=1e-4,
+                   adamw_keys=["t_embed", "control_embed", "proj_in",
+                               "proj_out", "adaln", "gate"])
+else:
+    tx = optax.adamw(1e-4)
 opt = tx.init(params)
 
 def loss_fn(p, rng):

@@ -219,3 +219,101 @@ def test_gradient_checkpointing_grads():
 
         g = jax.jit(jax.grad(loss))(params)
         assert np.isfinite(float(jax.tree.leaves(g)[0].sum()))
+
+
+def test_group_remat_matches_block_remat():
+    """remat_granularity='group' must be numerically identical (outputs
+    AND grads) to per-block remat — it only changes what gets saved."""
+    import jax
+    import numpy as np
+    from owl_audio_exps_tpu.configs import transformer_config
+    from owl_audio_exps_tpu.models.gamerft import GameRFTCore
+
+    def build(gran):
+        cfg = transformer_config(
+            model_id="game_rft", n_layers=4, n_heads=2, d_model=32,
+            channels=4, sample_size=2, tokens_per_frame=4, n_frames=8,
+            n_buttons=3, causal=True, uncond=False, has_audio=False,
+            rope_impl="ortho", local_window=2, global_window=None,
+            cfg_prob=0.0, gradient_checkpointing=True, local_idx=2,
+            remat_granularity=gran)
+        return GameRFTCore(cfg, dtype=jnp.float32)
+
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randn(1, 8, 4, 2, 2), jnp.float32)
+    t = jnp.asarray(rs.rand(1, 8), jnp.float32)
+    mouse = jnp.asarray(rs.randn(1, 8, 2), jnp.float32)
+    btn = jnp.asarray(rs.rand(1, 8, 3) > 0.5, jnp.float32)
+
+    block = build("block")
+    group = build("group")
+    params = block.init(jax.random.key(0), x, t, mouse, btn)["params"]
+
+    def loss(core):
+        def f(p):
+            out, _ = core.apply({"params": p}, x, t, mouse, btn)
+            return jnp.mean(jnp.square(out))
+        return f
+
+    lb, gb = jax.value_and_grad(loss(block))(params)
+    lg, gg = jax.value_and_grad(loss(group))(params)
+    assert np.allclose(float(lb), float(lg), atol=1e-6)
+    for a, b in zip(jax.tree.leaves(gb), jax.tree.leaves(gg)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)
+
+
+def test_split_local_cache_equivalence():
+    """The split small-ring cache for local layers must produce EXACTLY
+    the same decode outputs as the single full-capacity ring, while
+    allocating ~local_window worth of slots for local layers (the 65k-
+    token serve memory fix; local layers only read their window,
+    reference owl_wms/nn/attn.py:102-104)."""
+    from owl_audio_exps_tpu.nn.kv_cache import KVCache
+    from owl_audio_exps_tpu.models.gamerft import GameRFTCore
+
+    def cfg_for(split):
+        return transformer_config(
+            model_id="game_rft", n_layers=4, n_heads=2, d_model=32,
+            channels=4, sample_size=2, tokens_per_frame=4, n_frames=32,
+            n_buttons=3, causal=True, uncond=False, has_audio=False,
+            rope_impl="ortho", local_window=3, global_window=None,
+            cfg_prob=0.0, local_idx=2, split_local_cache=split)
+
+    rs = np.random.RandomState(0)
+    ctx = jnp.asarray(rs.randn(1, 6, 4, 2, 2), F32)
+    t_ctx = jnp.zeros((1, 6), F32)
+    mouse = jnp.asarray(rs.randn(1, 16, 2), F32)
+    btn = jnp.asarray(rs.rand(1, 16, 3) > 0.5, F32)
+
+    outs = {}
+    for split in (True, False):
+        cfg = cfg_for(split)
+        core = GameRFTCore(cfg, dtype=F32)
+        params = core.init(jax.random.key(0), ctx, t_ctx,
+                           mouse[:, :6], btn[:, :6])["params"]
+        cache = KVCache.from_config(cfg, 1, capacity_frames=16, dtype=F32)
+        assert cache.split == split
+        if split:
+            # local layers (idx 1, 3 with local_idx=2) use the small ring
+            assert cache.lk.shape[0] == 2
+            assert cache.local_capacity == 3 * 4
+        _, cache = core.apply({"params": params}, ctx, t_ctx,
+                              mouse[:, :6], btn[:, :6],
+                              kv_cache=cache, write=True)
+        frames = []
+        for i in range(6, 14):
+            x = jnp.asarray(rs.randn(1, 1, 4, 2, 2) * 0.0 + 0.3, F32)
+            tt = jnp.full((1, 1), 0.5, F32)
+            pred, _ = core.apply({"params": params}, x, tt,
+                                 mouse[:, i:i + 1], btn[:, i:i + 1],
+                                 kv_cache=cache, decoding=True)
+            frames.append(np.asarray(pred))
+            _, cache = core.apply({"params": params}, x, tt,
+                                  mouse[:, i:i + 1], btn[:, i:i + 1],
+                                  kv_cache=cache, write=True,
+                                  decoding=True)
+        outs[split] = np.stack(frames)
+
+    np.testing.assert_allclose(outs[True], outs[False], atol=1e-5,
+                               rtol=1e-5)

@@ -118,3 +118,33 @@ def test_deterministic_checksum(impl, expected):
     freqs = get_rope_freqs(cfg)
     checksum = float(np.sum(np.cos(freqs)) + np.sum(np.sin(freqs)))
     assert np.isclose(checksum, expected, rtol=1e-5)
+
+
+def test_interleaved_layout_preserves_attention_scores():
+    """The TPU-friendly interleaved rotation is a fixed feature
+    permutation of the reference's [y0 | y1] halves layout — q.k scores
+    (and therefore model outputs) must match the halves-layout oracle
+    exactly."""
+    cfg = make_cfg()
+    table = rope_table_for(cfg)
+    rng = np.random.RandomState(3)
+    q = jnp.asarray(rng.randn(2, 4, 6, 16).astype(np.float32))
+    k = jnp.asarray(rng.randn(2, 4, 6, 16).astype(np.float32))
+    pos = jnp.arange(6, dtype=jnp.int32)
+
+    def halves_oracle(x):
+        c = np.asarray(table.cos)[np.asarray(pos)]
+        s = np.asarray(table.sin)[np.asarray(pos)]
+        xn = np.asarray(x)
+        f = c.shape[-1]
+        pairs = xn[..., :2 * f].reshape(*xn.shape[:-1], f, 2)
+        x0, x1 = pairs[..., 0], pairs[..., 1]
+        out = np.concatenate([x0 * c - x1 * s, x1 * c + x0 * s], axis=-1)
+        return np.concatenate([out, xn[..., 2 * f:]], axis=-1)
+
+    qr = np.asarray(apply_rope(q, table.cos, table.sin, pos))
+    kr = np.asarray(apply_rope(k, table.cos, table.sin, pos))
+    scores = np.einsum("bhqd,bhkd->bhqk", qr, kr)
+    scores_ref = np.einsum("bhqd,bhkd->bhqk", halves_oracle(q),
+                           halves_oracle(k))
+    np.testing.assert_allclose(scores, scores_ref, rtol=1e-5, atol=1e-5)
