@@ -48,8 +48,8 @@ class MuonState(NamedTuple):
 
 
 def muon(lr: float, momentum: float = 0.95, nesterov: bool = True,
-         ns_steps: int = 5, weight_decay: float = 0.01
-         ) -> optax.GradientTransformation:
+         ns_steps: int = 5, weight_decay: float = 0.01,
+         momentum_dtype=None) -> optax.GradientTransformation:
     """Muon as a GradientTransformation producing the full parameter delta
     (decay + orthogonalized step), matching the reference update rule
     (owl_wms/muon.py:70-84):
@@ -57,17 +57,28 @@ def muon(lr: float, momentum: float = 0.95, nesterov: bool = True,
         g'  <- nesterov ? lerp(g, buf, momentum) : buf
         o   <- NS5(reshape_2d(g'))
         p   <- p * (1 - lr*wd) - lr * max(1, m/n)^0.5 * o
+
+    ``momentum_dtype=jnp.bfloat16`` halves the optimizer-state footprint
+    (NS5 already runs in bf16, so the orthogonalized step is unchanged;
+    only the accumulator rounds) — the fit lever for the 98k-token
+    single-chip config.
     """
 
     def init_fn(params):
-        return MuonState(momentum=jax.tree.map(jnp.zeros_like, params))
+        def zeros(p):
+            return jnp.zeros(p.shape, momentum_dtype or p.dtype)
+        return MuonState(momentum=jax.tree.map(zeros, params))
 
     def update_fn(grads, state, params):
         assert params is not None, "muon requires params (weight decay)"
 
         def upd(g, buf, p):
-            new_buf = buf + (1.0 - momentum) * (g - buf)
-            gm = g + momentum * (new_buf - g) if nesterov else new_buf
+            new_buf = (buf.astype(g.dtype)
+                       + (1.0 - momentum) * (g - buf.astype(g.dtype)))
+            if momentum_dtype is not None:
+                new_buf = new_buf.astype(momentum_dtype)
+            buf_g = new_buf.astype(g.dtype)
+            gm = g + momentum * (buf_g - g) if nesterov else buf_g
             shape = gm.shape
             if gm.ndim == 4:
                 # conv kernels flatten like the reference (muon.py:78-79)
@@ -125,6 +136,7 @@ def init_muon(params, lr: float = 1e-3, momentum: float = 0.95,
               adamw_lr: float = 1e-4, adamw_wd: float = 1e-4,
               adamw_eps: float = 1e-15, adamw_betas=(0.9, 0.999),
               adamw_keys=None, weight_decay: float = 0.01,
+              momentum_dtype=None,
               **_) -> optax.GradientTransformation:
     """Combined Muon + AdamW (reference: owl_wms/muon.py:117-179).
 
@@ -134,7 +146,8 @@ def init_muon(params, lr: float = 1e-3, momentum: float = 0.95,
     labels = muon_adamw_labels(params, adamw_keys)
     return optax.multi_transform(
         {
-            "muon": muon(lr, momentum, weight_decay=weight_decay),
+            "muon": muon(lr, momentum, weight_decay=weight_decay,
+                         momentum_dtype=momentum_dtype),
             "adamw": optax.adamw(adamw_lr, b1=adamw_betas[0],
                                  b2=adamw_betas[1], eps=adamw_eps,
                                  weight_decay=adamw_wd),

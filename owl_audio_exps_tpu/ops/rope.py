@@ -207,17 +207,36 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray,
     cc = jnp.repeat(c, 2, axis=-1)                       # [t, 2F]
     ss = jnp.stack([-s, s], axis=-1).reshape(*s.shape[:-1], 2 * f)
 
-    xr = x[..., : 2 * f].astype(jnp.float32)
-    # pair swap as two lane rotations + select (pure vector-unit ops)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (2 * f,), 0)
-    even = (lane % 2 == 0)
-    swapped = jnp.where(even, jnp.roll(xr, -1, axis=-1),
-                        jnp.roll(xr, 1, axis=-1))
-    out = xr * cc + swapped * ss
+    xr = x[..., : 2 * f]
+    # pair swap (x[2i] <-> x[2i+1]) as a matmul with an exact 0/1
+    # permutation matrix: each output lane is a one-hot dot, so the MXU
+    # result is bit-exact, and — unlike a minor-axis roll, which lowers
+    # to slice+concat, breaks elementwise fusion, and materialized
+    # multi-GB padded f32 temps at 98k tokens — it fuses as a single
+    # kOutput dot with the rotation arithmetic.
+    swapped = jax.lax.dot_general(
+        xr, _swap_matrix(2 * f, xr.dtype),
+        (((xr.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    out = xr.astype(jnp.float32) * cc + swapped * ss
     out = out.astype(in_dtype)
     if 2 * f < d:
         out = jnp.concatenate([out, x[..., 2 * f:]], axis=-1)
     return out
+
+
+_SWAP_CACHE: dict = {}
+
+
+def _swap_matrix(n: int, dtype) -> np.ndarray:
+    """[n, n] 0/1 matrix with P[i, i^1] = 1 (adjacent-pair swap)."""
+    key = (n, np.dtype(dtype).name)
+    if key not in _SWAP_CACHE:
+        p = np.zeros((n, n), dtype=dtype)
+        idx = np.arange(n)
+        p[idx, idx ^ 1] = 1
+        _SWAP_CACHE[key] = p
+    return _SWAP_CACHE[key]
 
 
 class RopeTable:

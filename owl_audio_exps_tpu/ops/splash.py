@@ -79,13 +79,25 @@ class FrameMask(splash_mask._ComputableMask):
 def largest_divisor_block(seq_len: int, cap: int = 512) -> int:
     """Largest block size <= cap that divides seq_len AND is a multiple of
     128 (both are hard splash constraints). Returns 0 when none exists —
-    e.g. frame-interleaved lengths like 16*65 — in which case the dense
-    path is used."""
+    e.g. frame-interleaved lengths like 16*65 — in which case the caller
+    pads to the next block multiple (see pad_to_block)."""
     start = (min(cap, seq_len) // 128) * 128
     for b in range(start, 0, -128):
         if seq_len % b == 0:
             return b
     return 0
+
+
+def pad_to_block(seq_len: int, cap: int = 512) -> int:
+    """Padded length for sequences with no legal splash block size (e.g.
+    the AV-interleaved tokens_per_frame=65 layouts: L = n_frames*65 shares
+    no 128-multiple divisor). Rounds up to the block cap; the pad tokens
+    are fenced off with a sentinel segment id so they are invisible to —
+    and cannot see — real tokens regardless of the frame mask."""
+    if largest_divisor_block(seq_len, cap) >= min(cap, 128):
+        return seq_len
+    block = min(cap, max(128, (seq_len // 128) * 128) or 128)
+    return -(-seq_len // block) * block
 
 
 def _block_sizes(q_len: int, kv_len: int) -> splash_kernel.BlockSizes:
@@ -124,7 +136,8 @@ def splash_attention(
     Returns [B, H, L, Dh] in q's dtype.
     """
     B, H, L, Dh = q.shape
-    kernel = _make_kernel(H, L, k.shape[2], tokens_per_frame, window, causal)
+    L_pad = pad_to_block(L)
+    pad = L_pad - L
 
     scale = Dh ** -0.5
     qs = (q * scale).astype(q.dtype)
@@ -132,6 +145,25 @@ def splash_attention(
     if doc_id is not None:
         tok_doc = jnp.repeat(doc_id.astype(jnp.int32), tokens_per_frame,
                              axis=-1)  # [B, L]
+    else:
+        tok_doc = None
+
+    if pad:
+        # fence padding behind a sentinel segment id: pad tokens form
+        # their own document, so they neither see nor contaminate real
+        # tokens under the kernel's q_seg == kv_seg AND frame-mask rule
+        zpad = ((0, 0), (0, 0), (0, pad), (0, 0))
+        qs, k, v = (jnp.pad(a, zpad) for a in (qs, k, v))
+        if tok_doc is None:
+            tok_doc = jnp.zeros((B, L), jnp.int32)
+        sentinel = jnp.max(tok_doc, axis=-1, keepdims=True) + 1  # [B, 1]
+        tok_doc = jnp.concatenate(
+            [tok_doc, jnp.broadcast_to(sentinel, (B, pad))], axis=-1)
+
+    kernel = _make_kernel(H, L_pad, L_pad if pad else k.shape[2],
+                          tokens_per_frame, window, causal)
+
+    if tok_doc is not None:
         seg_fn = jax.vmap(
             lambda qq, kk, vv, d: kernel(
                 qq, kk, vv,
@@ -139,7 +171,7 @@ def splash_attention(
         out = seg_fn(qs, k, v, tok_doc)
     else:
         out = jax.vmap(kernel)(qs, k, v)
-    return out.astype(q.dtype)
+    return out[:, :, :L].astype(q.dtype)
 
 
 def splash_available(q_len: int = None) -> bool:
@@ -148,6 +180,6 @@ def splash_available(q_len: int = None) -> bool:
             return False
     except Exception:
         return False
-    if q_len is not None and largest_divisor_block(q_len) == 0:
-        return False  # no legal block size — dense path
+    # lengths with no legal block size are padded + segment-fenced
+    # (pad_to_block), so any length is servable
     return True

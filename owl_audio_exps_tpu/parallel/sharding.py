@@ -17,7 +17,7 @@ from typing import Any, Dict
 import jax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from .mesh import AXIS_FSDP, AXIS_TENSOR, get_mesh
+from .mesh import AXIS_DATA, AXIS_FSDP, AXIS_TENSOR, get_mesh
 
 # ordered: first match wins
 RULES = [
@@ -88,3 +88,32 @@ def param_shardings(params, mesh=None):
 def shard_params(params, mesh=None):
     """Device-put params according to the rules."""
     return jax.device_put(params, param_shardings(params, mesh))
+
+
+def cache_shardings(cache, mesh=None):
+    """NamedSharding pytree for a ring KVCache (nn/kv_cache.py): ring
+    tensors [L, B, H, S, Dh] shard batch over data and HEADS over tensor —
+    the TP layout matching the column-parallel qkv rules above, so a
+    TP-sharded decode forward keeps each head's cache resident on the
+    chip that computes it (collectives only at the row-parallel out
+    projection). Ring counters replicate (every chip advances the same
+    clock). Divisibility-guarded like param rules."""
+    mesh = mesh or get_mesh()
+
+    def assign(leaf):
+        if getattr(leaf, "ndim", 0) == 5:
+            b, h = leaf.shape[1], leaf.shape[2]
+            spec = P(
+                None,
+                AXIS_DATA if b % mesh.shape[AXIS_DATA] == 0 else None,
+                AXIS_TENSOR if h % mesh.shape[AXIS_TENSOR] == 0 else None,
+                None, None)
+            return NamedSharding(mesh, spec)
+        return NamedSharding(mesh, P())
+
+    return jax.tree.map(assign, cache)
+
+
+def shard_cache(cache, mesh=None):
+    """Device-put a KVCache onto the mesh (TP over heads, DP over batch)."""
+    return jax.device_put(cache, cache_shardings(cache, mesh))

@@ -34,4 +34,18 @@ out_d = jax.jit(lambda q,k,v: dot_attention(q,k,v,mask))(q,k,v)
 diff = np.abs(np.asarray(out_s,dtype=np.float32)-np.asarray(out_d,dtype=np.float32)).max()
 print(f"doc_id: max|diff|={diff:.5f}")
 assert diff < 0.05
+
+# tpf=65 (AV-interleaved, no 128-multiple divisor): pad + segment fence
+tpf65, nf65 = 65, 32
+L65 = tpf65 * nf65  # 2080 — pads to 2560
+q65 = jnp.asarray(rs.randn(B, H, L65, Dh), jnp.bfloat16)
+k65 = jnp.asarray(rs.randn(B, H, L65, Dh), jnp.bfloat16)
+v65 = jnp.asarray(rs.randn(B, H, L65, Dh), jnp.bfloat16)
+for win, cz in [(4, True), (None, True)]:
+    out_s = jax.jit(lambda q,k,v: splash_attention(q,k,v,tpf65,win,cz))(q65,k65,v65)
+    mask = dense_mask(L65, tpf65, win, None, 0, cz)
+    out_d = jax.jit(lambda q,k,v: dot_attention(q,k,v,mask))(q65,k65,v65)
+    diff = np.abs(np.asarray(out_s,dtype=np.float32)-np.asarray(out_d,dtype=np.float32)).max()
+    print(f"tpf=65 win={win} causal={cz}: max|diff|={diff:.5f}")
+    assert diff < 0.05, diff
 print("SPLASH OK")

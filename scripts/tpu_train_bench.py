@@ -35,9 +35,12 @@ if OPT.lower() == "muon":
     # the optimizer the reference actually trains with
     # (owl_wms/muon.py:117-176 CombinedOptimizer); one momentum slot
     from owl_audio_exps_tpu.muon import init_muon
+    mom_dtype = jnp.bfloat16 if os.environ.get("OWL_MUON_BF16") == "1" \
+        else None
     tx = init_muon(params, lr=1e-4, momentum=0.95, adamw_lr=1e-4,
                    adamw_keys=["t_embed", "control_embed", "proj_in",
-                               "proj_out", "adaln", "gate"])
+                               "proj_out", "adaln", "gate"],
+                   momentum_dtype=mom_dtype)
 else:
     tx = optax.adamw(1e-4)
 opt = tx.init(params)
@@ -46,9 +49,16 @@ def loss_fn(p, rng):
     return model.apply({"params": p}, x, mouse, btn,
                        rngs={"noise": rng})
 
+GRADS_BF16 = os.environ.get("OWL_GRADS_BF16") == "1"
+
+
 @partial(jax.jit, donate_argnums=(0, 1))
 def step(p, o, rng):
     loss, g = jax.value_and_grad(loss_fn)(p, rng)
+    if GRADS_BF16:
+        # cast fuses into the backward's final grad accumulation: grad
+        # buffers materialize at half size (Muon NS5 is bf16 anyway)
+        g = jax.tree.map(lambda x: x.astype(jnp.bfloat16), g)
     up, o = tx.update(g, o, p)
     return optax.apply_updates(p, up), o, loss
 
