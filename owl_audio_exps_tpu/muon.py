@@ -104,6 +104,60 @@ def muon(lr: float, momentum: float = 0.95, nesterov: bool = True,
     return optax.GradientTransformation(init_fn, update_fn)
 
 
+class AdamWLowMemState(NamedTuple):
+    count: Any
+    mu: Any
+    nu: Any
+
+
+def adamw_lowmem(lr: float, b1: float = 0.9, b2: float = 0.999,
+                 eps: float = 1e-15, weight_decay: float = 1e-4,
+                 state_dtype=jnp.bfloat16) -> optax.GradientTransformation:
+    """AdamW with BOTH moment accumulators stored in ``state_dtype``
+    (optax.adamw only exposes mu_dtype). Update math runs in f32; only
+    the carried state rounds. This is the remaining optimizer-state fit
+    lever for the 98k-token single-chip config: the AdamW-labeled group
+    (adaln/gate/embeddings, ~252M params at dit_v4) drops 0.94G -> 0.47G
+    of second-moment storage."""
+
+    def init_fn(params):
+        def zeros(p):
+            return jnp.zeros(p.shape, state_dtype or p.dtype)
+        return AdamWLowMemState(
+            count=jnp.zeros((), jnp.int32),
+            mu=jax.tree.map(zeros, params),
+            nu=jax.tree.map(zeros, params))
+
+    def update_fn(grads, state, params):
+        assert params is not None
+        count = state.count + 1
+        c1 = 1.0 - b1 ** count.astype(jnp.float32)
+        c2 = 1.0 - b2 ** count.astype(jnp.float32)
+
+        def upd(g, mu, nu, p):
+            g32 = g.astype(jnp.float32)
+            mu32 = mu.astype(jnp.float32) * b1 + (1 - b1) * g32
+            nu32 = nu.astype(jnp.float32) * b2 + (1 - b2) * g32 * g32
+            step = mu32 / c1 / (jnp.sqrt(nu32 / c2) + eps)
+            delta = (-lr * (step + weight_decay * p.astype(jnp.float32))
+                     ).astype(p.dtype)
+            return delta, mu32.astype(mu.dtype), nu32.astype(nu.dtype)
+
+        flat_g, treedef = jax.tree.flatten(grads)
+        flat_mu = treedef.flatten_up_to(state.mu)
+        flat_nu = treedef.flatten_up_to(state.nu)
+        flat_p = treedef.flatten_up_to(params)
+        out = [upd(g, m, n, p) for g, m, n, p
+               in zip(flat_g, flat_mu, flat_nu, flat_p)]
+        return (treedef.unflatten([d for d, _, _ in out]),
+                AdamWLowMemState(
+                    count=count,
+                    mu=treedef.unflatten([m for _, m, _ in out]),
+                    nu=treedef.unflatten([n for _, _, n in out])))
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def _path_str(path_entries) -> str:
     return ".".join(str(getattr(p, "key", p)) for p in path_entries)
 
@@ -144,13 +198,20 @@ def init_muon(params, lr: float = 1e-3, momentum: float = 0.95,
     so the combined transform is applied without an outer scale_by_lr.
     """
     labels = muon_adamw_labels(params, adamw_keys)
+    if momentum_dtype is not None:
+        adamw_tx = adamw_lowmem(adamw_lr, b1=adamw_betas[0],
+                                b2=adamw_betas[1], eps=adamw_eps,
+                                weight_decay=adamw_wd,
+                                state_dtype=momentum_dtype)
+    else:
+        adamw_tx = optax.adamw(adamw_lr, b1=adamw_betas[0],
+                               b2=adamw_betas[1], eps=adamw_eps,
+                               weight_decay=adamw_wd)
     return optax.multi_transform(
         {
             "muon": muon(lr, momentum, weight_decay=weight_decay,
                          momentum_dtype=momentum_dtype),
-            "adamw": optax.adamw(adamw_lr, b1=adamw_betas[0],
-                                 b2=adamw_betas[1], eps=adamw_eps,
-                                 weight_decay=adamw_wd),
+            "adamw": adamw_tx,
         },
         labels,
     )

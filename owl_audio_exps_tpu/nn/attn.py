@@ -213,11 +213,52 @@ def cached_attention(cfg, layer_idx: int, local: bool, dtype,
         window = cfg.get("local_window") if local else cfg.get("global_window")
         out = splash_attention(q.astype(dtype), k.astype(dtype),
                                v.astype(dtype), tpf, window,
-                               bool(cfg.causal), doc_id)
+                               bool(cfg.causal), doc_id,
+                               head_chunks=cfg.get("splash_head_chunks", 1))
     else:
         out = dot_attention(q.astype(dtype), k.astype(dtype),
                             v.astype(dtype), mask)
     return out, kv_write
+
+
+class QKVProj(nn.Module):
+    """Fused-QKV parameter, split-stream compute.
+
+    The parameter stays ONE fused heads-major kernel [d, H*3*Dh] (the
+    layout the torch importer, Muon NS5, and the TP sharding rules all
+    key on), but the forward slices the WEIGHT per stream and runs three
+    [d, d] matmuls. The weight slices are ~5 MB copies; the alternative
+    — one [B, L, H, 3, Dh] activation then three strided transposes —
+    materializes a tensor whose tiny (3, 64) minor dims tile-pad 2x on
+    TPU (1.69 GB at 98k tokens, the largest single allocation in the
+    1536-frame dit_v4 step). Sliced at the weight instead, each stream
+    lands directly in [B, L, d] with clean 128-lane tiling. Under tensor
+    parallelism the reshape/slice happens shard-locally (the tensor axis
+    divides H), so no collectives are introduced.
+    """
+
+    d_model: int
+    n_heads: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        from .layers import torch_linear_kernel_init, torch_linear_bias_init
+        d = self.d_model
+        H = self.n_heads
+        Dh = d // H
+        in_f = x.shape[-1]
+        kernel = self.param("kernel", torch_linear_kernel_init, (in_f, 3 * d))
+        bias = self.param("bias", torch_linear_bias_init(in_f), (3 * d,))
+        k4 = kernel.reshape(in_f, H, 3, Dh).astype(self.dtype)
+        b3 = bias.reshape(H, 3, Dh).astype(self.dtype)
+        xd = x.astype(self.dtype)
+        outs = []
+        for i in range(3):
+            w = k4[:, :, i].reshape(in_f, d)
+            y = jnp.dot(xd, w) + b3[:, i].reshape(d)
+            outs.append(y.reshape(*x.shape[:-1], H, Dh))
+        return outs  # q, k, v each [..., H, Dh]
 
 
 class Attn(nn.Module):
@@ -242,14 +283,16 @@ class Attn(nn.Module):
         H = cfg.n_heads
         Dh = cfg.d_model // H
 
-        # fused QKV packed heads-major ([H, 3, Dh] on the output dim) so the
-        # tensor-parallel axis shards over heads (see parallel/sharding.py);
-        # the torch importer permutes the reference's [3, H, Dh] rows.
-        qkv = Linear(3 * cfg.d_model, dtype=self.dtype, name="qkv")(x)
-        qkv = qkv.reshape(B, L, H, 3, Dh)
-        q = jnp.transpose(qkv[:, :, :, 0], (0, 2, 1, 3))  # [B, H, L, Dh]
-        k = jnp.transpose(qkv[:, :, :, 1], (0, 2, 1, 3))
-        v = jnp.transpose(qkv[:, :, :, 2], (0, 2, 1, 3))
+        # fused QKV param packed heads-major ([H, 3, Dh] on the output dim)
+        # so the tensor-parallel axis shards over heads (see
+        # parallel/sharding.py); the torch importer permutes the
+        # reference's [3, H, Dh] rows. Compute is split per stream — see
+        # QKVProj for the memory rationale.
+        qs, ks, vs = QKVProj(cfg.d_model, H, dtype=self.dtype,
+                             name="qkv")(x)
+        q = jnp.transpose(qs, (0, 2, 1, 3))  # [B, H, L, Dh]
+        k = jnp.transpose(ks, (0, 2, 1, 3))
+        v = jnp.transpose(vs, (0, 2, 1, 3))
         q, k = rms_norm(q), rms_norm(k)
 
         rope = rope_table_for(cfg)
@@ -287,7 +330,11 @@ class DiTBlock(nn.Module):
             mask, kv_cache, write, splash, doc_id, decoding)
         x = x + Gate(d, dtype=self.dtype, name="gate1")(h, cond)
 
-        h = MLP(d, dtype=self.dtype, name="mlp")(
+        # chunked MLP only in uncached (training) forwards — decode
+        # shapes are small and chunking would just add dispatches
+        mlp_chunks = self.config.get("mlp_chunks", 1) if kv_cache is None \
+            else 1
+        h = MLP(d, dtype=self.dtype, chunks=mlp_chunks, name="mlp")(
             AdaLN(d, dtype=self.dtype, name="adaln2")(x, cond))
         x = x + Gate(d, dtype=self.dtype, name="gate2")(h, cond)
         return x, kv_write
@@ -326,8 +373,19 @@ class DiT(nn.Module):
         if use_scan_layers(cfg, kv_cache):
             local_idx = cfg.get("local_idx", 4) or 4
             n_groups = cfg.n_layers // local_idx
+            body = DiTGroup
+            if (cfg.get("gradient_checkpointing", False)
+                    and cfg.get("remat_sequenced", False)
+                    and kv_cache is None):
+                # hierarchical: the scan body (one group) is remat'd, so
+                # the scan saves ONE residual per group instead of one per
+                # block (4.6 GB -> 1.15 GB at 98k tokens); the blocks
+                # inside recompute through the sequenced custom vjp (see
+                # DiTGroup._sequenced_block), which serializes the
+                # backward so the scheduler holds one block's working set
+                body = nn.remat(DiTGroup, static_argnums=(6,))
             ScanGroups = nn.scan(
-                DiTGroup,
+                body,
                 variable_axes={"params": 0},
                 split_rngs={"params": True},
                 in_axes=(nn.broadcast,) * 5,
@@ -335,6 +393,20 @@ class DiT(nn.Module):
             )
             x, _ = ScanGroups(cfg, dtype=self.dtype, name="groups")(
                 x, cond, local_mask, global_mask, doc_id, splash)
+            return x, kv_cache
+
+        # unrolled sequenced remat: no while-loop (scan) buffer pinning,
+        # one saved residual per block, strictly serialized backward —
+        # the flat-program variant of the 98k-token memory strategy
+        if (cfg.get("gradient_checkpointing", False) and kv_cache is None
+                and cfg.get("remat_sequenced", False)
+                and not cfg.get("scan_layers", False)
+                and local_mask is None and global_mask is None
+                and doc_id is None):
+            for idx, local in enumerate(flags):
+                blk = DiTBlock(cfg, idx, local, dtype=self.dtype,
+                               name=f"blocks_{idx}")
+                x = sequenced_block(blk, splash)(blk, x, cond)
             return x, kv_cache
 
         # remat whenever configured and uncached: free in fwd-only calls
@@ -392,6 +464,49 @@ class DiT(nn.Module):
         return x, kv_cache
 
 
+def sequenced_block(block_def, splash):
+    """Remat with SEQUENCED backward: a custom vjp that saves only
+    (params, x, cond) and, in the backward, chains the recompute behind
+    the incoming cotangent through an optimization barrier.
+
+    Plain nn.remat leaves every block's recompute data-dependent only on
+    its saved input, so the latency-hiding scheduler runs many blocks'
+    recomputes concurrently and holds all their activations — measured as
+    the binding factor for the 98k-token dit_v4 fit (the scheduler
+    re-absorbed every structural memory cut at ~16 GB). Here block j's
+    recompute cannot be hoisted before block j+1's backward has produced
+    the cotangent, so peak holds ONE block's working set. Math is
+    identical to nn.remat. Requires the mask-free (splash / full
+    attention) path: masks or doc_id would be closed-over tracers in the
+    custom vjp.
+    """
+
+    def f(mdl, x, cond):
+        y, _ = mdl(x, cond, None, None, False, splash, None, False)
+        return y
+
+    def fwd(mdl, x, cond):
+        # the raw params reference ALIASES the master tree (a cast copy
+        # measured +1.3 GB at dit_v4; the alias is free)
+        return f(mdl, x, cond), (mdl.variables["params"], x, cond)
+
+    def bwd(res, y_t):
+        params, x, cond = res
+        (x, cond), y_t = jax.lax.optimization_barrier(((x, cond), y_t))
+
+        def pure(params, x, cond):
+            y, _ = block_def.apply(
+                {"params": params}, x, cond, None, None, False, splash,
+                None, False)
+            return y
+
+        _, vjp_fn = jax.vjp(pure, params, x, cond)
+        p_t, x_t, cond_t = vjp_fn(y_t)
+        return ({"params": p_t}, x_t, cond_t)
+
+    return nn.custom_vjp(f, forward_fn=fwd, backward_fn=bwd)
+
+
 class DiTGroup(nn.Module):
     """One period of the local/global alternation ([global, local x
     (local_idx-1)]) — the scanned unit of ``scan_layers`` mode. Masks and
@@ -406,15 +521,30 @@ class DiTGroup(nn.Module):
     def __call__(self, x, cond, local_mask, global_mask, doc_id, splash):
         cfg = self.config
         local_idx = cfg.get("local_idx", 4) or 4
+        remat = cfg.get("gradient_checkpointing", False)
+        # sequenced remat needs the mask-free splash path (masks/doc_id
+        # would be closed-over tracers in the custom vjp)
+        sequenced = (remat and cfg.get("remat_sequenced", False)
+                     and local_mask is None and global_mask is None
+                     and doc_id is None)
         block_cls = DiTBlock
-        if cfg.get("gradient_checkpointing", False):
+        if remat and not sequenced:
+            # NB: prevent_cse must stay True here — with False, XLA CSEs
+            # the rematerialized forward against the saved one and keeps
+            # every activation alive (measured 37 GB vs 16 GB at 98k
+            # tokens); the barriers are what make the remat real
             block_cls = nn.remat(DiTBlock, static_argnums=(5, 6, 8))
         for j in range(local_idx):
             local = j % local_idx != 0
-            mask = local_mask if local else global_mask
-            x, _ = block_cls(cfg, j, local, dtype=self.dtype,
-                             name=f"blocks_{j}")(
-                x, cond, mask, None, False, splash, doc_id, False)
+            if sequenced:
+                blk = DiTBlock(cfg, j, local, dtype=self.dtype,
+                               name=f"blocks_{j}")
+                x = sequenced_block(blk, splash)(blk, x, cond)
+            else:
+                mask = local_mask if local else global_mask
+                x, _ = block_cls(cfg, j, local, dtype=self.dtype,
+                                 name=f"blocks_{j}")(
+                    x, cond, mask, None, False, splash, doc_id, False)
         return x, None
 
 

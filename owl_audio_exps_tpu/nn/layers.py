@@ -93,22 +93,45 @@ class MLP(nn.Module):
 
     fc1/fc2 live directly at this module's scope (params ``mlp/fc1``,
     ``mlp/fc2``) so torch-reference state_dicts (``mlp.fc1.weight``) map
-    1:1 through utils/torch_import.py."""
+    1:1 through utils/torch_import.py.
+
+    ``chunks`` > 1 computes the (pointwise) MLP over token chunks chained
+    through optimization barriers: numerically identical, but the 4d-wide
+    hidden activation materializes one chunk at a time (1.15 GB -> 288 MB
+    at 98k tokens x d=1536), and the barrier chain stops the latency-
+    hiding scheduler from inflating peak memory by running chunks
+    concurrently. Long-context fit lever (model.mlp_chunks)."""
 
     d_model: int
     dtype: jnp.dtype = jnp.bfloat16
+    chunks: int = 1
 
     @nn.compact
     def __call__(self, x):
         zeros = nn.initializers.zeros
-        x = Linear(self.d_model * 4, dtype=self.dtype,
-                   kernel_init=scaled_kaiming_normal_init, bias_init=zeros,
-                   name="fc1")(x)
-        x = nn.silu(x)
-        x = Linear(self.d_model, dtype=self.dtype,
-                   kernel_init=scaled_kaiming_normal_init, bias_init=zeros,
-                   name="fc2")(x)
-        return x
+        fc1 = Linear(self.d_model * 4, dtype=self.dtype,
+                     kernel_init=scaled_kaiming_normal_init, bias_init=zeros,
+                     name="fc1")
+        fc2 = Linear(self.d_model, dtype=self.dtype,
+                     kernel_init=scaled_kaiming_normal_init, bias_init=zeros,
+                     name="fc2")
+
+        L = x.shape[1]
+        n = self.chunks
+        if n <= 1 or x.ndim != 3 or L % n:
+            return fc2(nn.silu(fc1(x)))
+
+        c = L // n
+        outs = []
+        dep = None
+        for i in range(n):
+            xi = x[:, i * c:(i + 1) * c]
+            if dep is not None:
+                xi, dep = jax.lax.optimization_barrier((xi, dep))
+            yi = fc2(nn.silu(fc1(xi)))
+            dep = yi
+            outs.append(yi)
+        return jnp.concatenate(outs, axis=1)
 
 
 def broadcast_cond(cond: jnp.ndarray, n_tokens: int) -> jnp.ndarray:

@@ -24,7 +24,7 @@ from ..ops.norms import rms_norm
 from ..ops.rope import rope_table_for
 from .layers import MLP, Linear, cond_adaln, cond_gate
 from .kv_cache import KVCache
-from .attn import (build_masks, cached_attention,
+from .attn import (QKVProj, build_masks, cached_attention,
                    local_layer_flags, use_splash_path)
 
 
@@ -53,17 +53,21 @@ class MMAttn(nn.Module):
         L = n_frames * tpf
 
         def project(x, name):
-            qkv = Linear(3 * cfg.d_model, dtype=self.dtype, name=name)(x)
-            # heads-major packing (see nn/attn.py): [B, T, H, 3, Dh]
-            return qkv.reshape(B, x.shape[1], H, 3, Dh)
+            # fused heads-major param, split-stream compute (see
+            # nn/attn.py QKVProj): three [B, T, H, Dh] streams
+            return QKVProj(cfg.d_model, H, dtype=self.dtype, name=name)(x)
 
-        qkv0 = project(x0, "qkv_0").reshape(B, n_frames, V, H, 3, Dh)
-        qkv1 = project(x1, "qkv_1").reshape(B, n_frames, 1, H, 3, Dh)
-        qkv = jnp.concatenate([qkv0, qkv1], axis=2)      # [B, F, tpf, H, 3, Dh]
-        qkv = qkv.reshape(B, L, H, 3, Dh)
-        q = jnp.transpose(qkv[:, :, :, 0], (0, 2, 1, 3))  # [B, H, L, Dh]
-        k = jnp.transpose(qkv[:, :, :, 1], (0, 2, 1, 3))
-        v = jnp.transpose(qkv[:, :, :, 2], (0, 2, 1, 3))
+        q0, k0, v0 = project(x0, "qkv_0")
+        q1, k1, v1 = project(x1, "qkv_1")
+
+        def mix(a0, a1):
+            # interleave per frame: [V video tokens | 1 audio token]
+            a0 = a0.reshape(B, n_frames, V, H, Dh)
+            a1 = a1.reshape(B, n_frames, 1, H, Dh)
+            a = jnp.concatenate([a0, a1], axis=2).reshape(B, L, H, Dh)
+            return jnp.transpose(a, (0, 2, 1, 3))  # [B, H, L, Dh]
+
+        q, k, v = mix(q0, q1), mix(k0, k1), mix(v0, v1)
         q, k = rms_norm(q), rms_norm(k)
 
         rope = rope_table_for(cfg)

@@ -23,6 +23,9 @@ cfg = transformer_config(
     # group-granular remat: 4x fewer saved residuals — required to fit
     # the 1536-frame (98,304-token) reference config on one v5e chip
     remat_granularity=os.environ.get("OWL_REMAT", "group"),
+    splash_head_chunks=int(os.environ.get("OWL_SPLASH_HEAD_CHUNKS", "1")),
+    mlp_chunks=int(os.environ.get("OWL_MLP_CHUNKS", "1")),
+    remat_sequenced=os.environ.get("OWL_REMAT_SEQ") == "1",
     scan_layers=os.environ.get("OWL_SCAN_LAYERS") == "1")
 model = GameRFT(cfg, dtype=jnp.bfloat16)
 rs = np.random.RandomState(0)
