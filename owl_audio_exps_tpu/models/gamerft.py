@@ -68,13 +68,21 @@ class GameRFTCore(nn.Module):
         else:
             cond = t_cond
 
+        # remat the edge projections under gradient checkpointing: their
+        # saved [B, L, d] outputs/intermediates (~288 MB each at 98k
+        # tokens) recompute from the 25 MB raw latents instead
+        proj_cls, final_cls = Linear, FinalLayer
+        if cfg.get("gradient_checkpointing", False) and kv_cache is None:
+            proj_cls = nn.remat(Linear)
+            final_cls = nn.remat(FinalLayer)
+
         tokens = jnp.transpose(x, (0, 1, 3, 4, 2)).reshape(b, n * h * w, c)
-        tokens = Linear(cfg.d_model, use_bias=False, dtype=self.dtype,
-                        name="proj_in")(tokens.astype(self.dtype))
+        tokens = proj_cls(cfg.d_model, use_bias=False, dtype=self.dtype,
+                          name="proj_in")(tokens.astype(self.dtype))
         tokens, kv_cache = DiT(cfg, dtype=self.dtype, name="transformer")(
             tokens, cond, doc_id, kv_cache, write, decoding, deterministic)
-        tokens = FinalLayer(cfg.d_model, cfg.channels, dtype=self.dtype,
-                            name="proj_out")(tokens, cond)
+        tokens = final_cls(cfg.d_model, cfg.channels, dtype=self.dtype,
+                           name="proj_out")(tokens, cond)
         out = tokens.reshape(b, n, h, w, c).transpose(0, 1, 4, 2, 3)
         return out, kv_cache
 

@@ -72,15 +72,15 @@ def use_flash_decode(config, is_local: bool, q_len: int, kv_cache,
         return False
     if impl == "flash":
         return True
-    try:
-        import jax
-        # in-model, dense XLA attention still wins at 32k cached tokens
-        # (19.9 vs 40.4 ms/forward, scripts/tpu_single_fwd.py) — the
-        # kernel's per-block overhead needs round-2 tuning; auto only
-        # engages flash where dense logits memory becomes prohibitive
-        return jax.devices()[0].platform == "tpu" and S >= 49152
-    except Exception:
-        return False
+    # Measured head-to-head on v5e (docs/KERNELS.md, 24 heads x 65-token
+    # frame): XLA's fused dense cached attention streams the softmax and
+    # never spills logits — 2.1/2.7/3.9/5.1 ms at 16k/32k/64k/98k cached
+    # tokens vs 2.4/3.7/5.8/8.0 ms for the Pallas kernel (whose per-head
+    # 65x64xBK matmuls underuse the MXU at this geometry). Auto therefore
+    # routes dense at every size; the kernel remains available by opt-in
+    # (decode_impl: flash) and as the spill-proof fallback for geometries
+    # where [Lq, S] logits would not fit (much larger Lq or f32 logits).
+    return False
 
 
 def can_local_gather(config, q_len: int, kv_cache) -> bool:
@@ -250,9 +250,26 @@ class QKVProj(nn.Module):
         in_f = x.shape[-1]
         kernel = self.param("kernel", torch_linear_kernel_init, (in_f, 3 * d))
         bias = self.param("bias", torch_linear_bias_init(in_f), (3 * d,))
+        xd = x.astype(self.dtype)
+
+        n_tokens = x.shape[-2] if x.ndim >= 2 else 1
+        if n_tokens < 4096:
+            # short sequences (decode / small prefills): one fused matmul
+            # and slice the OUTPUT — the packed activation is tiny, while
+            # the weight-sliced path below would copy ~3x the weight
+            # bytes per call (measured 45 -> 71 frames/s on the 120-frame
+            # serve loop when this branch was missing)
+            y = jnp.dot(xd, kernel.astype(self.dtype)) + bias.astype(
+                self.dtype)
+            y = y.reshape(*x.shape[:-1], H, 3, Dh)
+            return [y[..., i, :] for i in range(3)]
+
+        # long sequences (training): slice the WEIGHT per stream so the
+        # [B, L, H, 3, Dh] activation (2x tile-padded, 1.69 GB at 98k
+        # tokens) never materializes; the ~5 MB weight slices are noise
+        # next to the L x d activations
         k4 = kernel.reshape(in_f, H, 3, Dh).astype(self.dtype)
         b3 = bias.reshape(H, 3, Dh).astype(self.dtype)
-        xd = x.astype(self.dtype)
         outs = []
         for i in range(3):
             w = k4[:, :, i].reshape(in_f, d)
