@@ -54,11 +54,19 @@ class GameRFTAudioCore(nn.Module):
         else:
             cond = t_cond
 
+        # remat the edge projections under gradient checkpointing: their
+        # saved [B, L, d] outputs recompute from the raw latents (see
+        # models/gamerft.py for the long-context rationale)
+        proj_cls, final_cls = Linear, FinalLayer
+        if cfg.get("gradient_checkpointing", False) and kv_cache is None:
+            proj_cls = nn.remat(Linear)
+            final_cls = nn.remat(FinalLayer)
+
         vid = jnp.transpose(x, (0, 1, 3, 4, 2)).reshape(b, n * h * w, c)
-        vid = Linear(cfg.d_model, use_bias=False, dtype=self.dtype,
-                     name="proj_in")(vid.astype(self.dtype))
-        aud = Linear(cfg.d_model, use_bias=False, dtype=self.dtype,
-                     name="audio_proj_in")(audio.astype(self.dtype))
+        vid = proj_cls(cfg.d_model, use_bias=False, dtype=self.dtype,
+                       name="proj_in")(vid.astype(self.dtype))
+        aud = proj_cls(cfg.d_model, use_bias=False, dtype=self.dtype,
+                       name="audio_proj_in")(audio.astype(self.dtype))
 
         if backbone in ("dit", "uvit"):
             # per-frame interleave: [64 video tokens, 1 audio token]
@@ -82,12 +90,12 @@ class GameRFTAudioCore(nn.Module):
         else:
             raise ValueError(f"Invalid backbone: {backbone}")
 
-        video = FinalLayer(cfg.d_model, cfg.channels, dtype=self.dtype,
-                           name="proj_out")(layer_norm(video), layer_norm(cond))
+        video = final_cls(cfg.d_model, cfg.channels, dtype=self.dtype,
+                          name="proj_out")(layer_norm(video), layer_norm(cond))
         video = video.reshape(b, n, h, w, c).transpose(0, 1, 4, 2, 3)
 
-        aud_out = FinalLayer(cfg.d_model, cfg.audio_channels, dtype=self.dtype,
-                             name="audio_proj_out")(aud_out, cond)
+        aud_out = final_cls(cfg.d_model, cfg.audio_channels, dtype=self.dtype,
+                            name="audio_proj_out")(aud_out, cond)
         return (video, aud_out), kv_cache
 
 

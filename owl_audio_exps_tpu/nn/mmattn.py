@@ -117,8 +117,11 @@ class MMDiTBlock(nn.Module):
         x1 = r1 + cond_gate(h1, a_g1)
 
         r0, r1 = x0, x1
-        h0 = MLP(d, dtype=self.dtype, name="mlps_0")(cond_adaln(x0, m_s0, m_b0))
-        h1 = MLP(d, dtype=self.dtype, name="mlps_1")(cond_adaln(x1, m_s1, m_b1))
+        chunks = self.config.get("mlp_chunks", 1) if kv_cache is None else 1
+        h0 = MLP(d, dtype=self.dtype, chunks=chunks, name="mlps_0")(
+            cond_adaln(x0, m_s0, m_b0))
+        h1 = MLP(d, dtype=self.dtype, chunks=chunks, name="mlps_1")(
+            cond_adaln(x1, m_s1, m_b1))
         x0 = r0 + cond_gate(h0, m_g0)
         x1 = r1 + cond_gate(h1, m_g1)
         return (x0, x1), kv_write
