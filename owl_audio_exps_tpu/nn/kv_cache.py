@@ -185,9 +185,21 @@ class KVCache:
         local_flags = None
         local_capacity = 0
         backbone = config.get("backbone", "dit")
+        split = config.get("split_local_cache", "auto")
+        if split in ("auto", None):
+            # Measured routing (v5e serve loops). Split rings win when
+            # (a) the context is long — single ring costs ~6.3 MB/frame
+            # at dit_v4 geometry (9.8 GB at the 1536-frame reference
+            # config) vs ~constant 2.4 GB split — or (b) the local ring
+            # is tiny (audio: 16x1-token window), where 12 of 16 layers
+            # reading a 31-slot ring beats them scanning the 136-slot
+            # full ring. At video serve caps the mirror upkeep loses:
+            # 43.4 vs 68.6 f/s at cap=120 (tpu_video_stream_bench), so
+            # mid-size rings stay single.
+            local_span = (local_w or 0) * tpf
+            split = frames > 384 or 0 < local_span <= 256
         if (local_w is not None and 0 < local_w * tpf < capacity
-                and backbone in ("dit", "mmdit")
-                and config.get("split_local_cache", True)):
+                and backbone in ("dit", "mmdit") and split):
             local_idx = config.get("local_idx", 4) or 4
             local_flags = tuple(
                 (i % local_idx != 0) for i in range(config.n_layers))

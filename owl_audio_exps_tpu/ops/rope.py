@@ -208,16 +208,27 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray,
     ss = jnp.stack([-s, s], axis=-1).reshape(*s.shape[:-1], 2 * f)
 
     xr = x[..., : 2 * f]
-    # pair swap (x[2i] <-> x[2i+1]) as a matmul with an exact 0/1
-    # permutation matrix: each output lane is a one-hot dot, so the MXU
-    # result is bit-exact, and — unlike a minor-axis roll, which lowers
-    # to slice+concat, breaks elementwise fusion, and materialized
-    # multi-GB padded f32 temps at 98k tokens — it fuses as a single
-    # kOutput dot with the rotation arithmetic.
-    swapped = jax.lax.dot_general(
-        xr, _swap_matrix(2 * f, xr.dtype),
-        (((xr.ndim - 1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    # pair swap (x[2i] <-> x[2i+1]). Two exact-permutation routes with
+    # opposite perf regimes:
+    #  * long sequences (training): a matmul against a 0/1 permutation
+    #    matrix — each output lane is a one-hot dot, so the MXU result is
+    #    bit-exact, and unlike a minor-axis roll (slice+concat, breaks
+    #    elementwise fusion) it fuses as a single kOutput dot; the
+    #    [.., F, 2] pair view would materialize multi-GB padded f32
+    #    temps at 98k tokens.
+    #  * short sequences (cached decode, L <= 2048): the pair view is
+    #    tiny and the per-op matmul overhead dominates — 32 small
+    #    dot_generals per forward cost ~2 ms/frame on the dit_v4 serve
+    #    loop. Use the fused elementwise reshape-flip instead.
+    if x.shape[-2] <= 2048:
+        swapped = jnp.flip(
+            xr.reshape(*xr.shape[:-1], f, 2), axis=-1
+        ).reshape(xr.shape).astype(jnp.float32)
+    else:
+        swapped = jax.lax.dot_general(
+            xr, _swap_matrix(2 * f, xr.dtype),
+            (((xr.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
     out = xr.astype(jnp.float32) * cc + swapped * ss
     out = out.astype(in_dtype)
     if 2 * f < d:

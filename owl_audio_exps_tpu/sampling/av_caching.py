@@ -40,7 +40,8 @@ class AVCachingSamplerV2:
     def __init__(self, n_steps: int = 16, cfg_scale: float = 1.3,
                  num_frames: int = 60, noise_prev: float = 0.2,
                  max_window=None, custom_schedule=None,
-                 only_return_generated: bool = False, **_):
+                 only_return_generated: bool = False,
+                 loop_mode: str = "auto", **_):
         self.n_steps = n_steps
         self.cfg_scale = cfg_scale
         self.num_frames = num_frames
@@ -49,6 +50,8 @@ class AVCachingSamplerV2:
         self.custom_schedule = (list(custom_schedule)
                                 if custom_schedule is not None else None)
         self.only_return_generated = only_return_generated
+        assert loop_mode in ("auto", "scan", "host")
+        self.loop_mode = loop_mode
         self._jit = JitCache()
 
     def __call__(self, core, params, x, mouse, btn, rng):
@@ -57,11 +60,102 @@ class AVCachingSamplerV2:
         [b, init_len + num_frames, c, h, w]."""
         num_frames = min(self.num_frames, mouse.shape[1] - x.shape[1])
         key = (id(core), x.shape, mouse.shape, str(x.dtype), num_frames)
-        fn = self._jit.get(key, lambda: jax.jit(
-            partial(self._sample, core, num_frames)))
-        out = fn(params, x, mouse, btn, rng)
+        # host mode: per-frame donated-tick loop driven from the host —
+        # the interactive-serve shape (one compiled tick, frames on
+        # demand). Identical rng schedule, so outputs match scan mode.
+        # Measured at dit_v4 serve scale (cap=120, 2-step) the one-scan
+        # program is ~15% faster end-to-end (42.5 vs 37.1 f/s — the scan
+        # keeps the cache carry in-place and amortizes dispatch), so
+        # batch generation defaults to scan; host mode is for
+        # interactive loops where frames must surface per tick.
+        if self.loop_mode == "host":
+            out = self._sample_host(core, num_frames, key, params,
+                                    x, mouse, btn, rng)
+        else:
+            fn = self._jit.get(key, lambda: jax.jit(
+                partial(self._sample, core, num_frames)))
+            out = fn(params, x, mouse, btn, rng)
         if self.only_return_generated:
             out = out[:, -num_frames:]
+        return out
+
+    # ------------------------------------------------- host-loop serve path
+    def _host_fns(self, core, num_frames, b, init_len, c, h, w, dtype):
+        dt = resolve_schedule(self.n_steps, self.custom_schedule)
+        capacity = self.max_window or (init_len + num_frames)
+
+        # NB: prefill must NOT donate its cache argument — donating a
+        # buffer into one executable and then donating that executable's
+        # aliased output into a *different* executable is rejected by
+        # remote-relay TPU backends (INVALID_ARGUMENT); tick->tick
+        # self-chains are fine.
+        @jax.jit
+        def prefill(params, cache, x, mouse, btn, rng):
+            rng, r_ctx = jax.random.split(rng)
+            noisy_ctx = zlerp(r_ctx, x, self.noise_prev)
+            t_ctx = jnp.full((b, x.shape[1]), self.noise_prev, dtype=dtype)
+            _, cache = core.apply(params, noisy_ctx, t_ctx,
+                                  mouse[:, :x.shape[1]], btn[:, :x.shape[1]],
+                                  kv_cache=cache, write=True)
+            return cache, rng
+
+        @partial(jax.jit, donate_argnums=(1,))
+        def tick(params, cache, rng, mouse, btn, idx):
+            rng, r_init, r_renoise = jax.random.split(rng, 3)
+            cur = jax.random.normal(r_init, (b, 1, c, h, w),
+                                    jnp.float32).astype(dtype)
+            t = jnp.ones((b, 1), dtype)
+            start = init_len + idx
+            cur_mouse = jax.lax.dynamic_slice_in_dim(mouse, start, 1, axis=1)
+            cur_btn = jax.lax.dynamic_slice_in_dim(btn, start, 1, axis=1)
+            null_mouse = jnp.zeros_like(cur_mouse)
+            null_btn = jnp.zeros_like(cur_btn)
+
+            def denoise(state, dt_i):
+                cur, t = state
+                pred, _ = core.apply(params, cur, t, cur_mouse, cur_btn,
+                                     kv_cache=cache, decoding=True)
+                if self.cfg_scale != 1.0:
+                    pred_u, _ = core.apply(params, cur, t, null_mouse,
+                                           null_btn, kv_cache=cache,
+                                           decoding=True)
+                    pred = pred_u + self.cfg_scale * (pred - pred_u)
+                new = cur.astype(jnp.float32) - dt_i * pred.astype(jnp.float32)
+                return (new.astype(cur.dtype),
+                        (t.astype(jnp.float32) - dt_i).astype(t.dtype)), None
+
+            (cur, t) = scan_or_unroll(
+                denoise, (cur, t), dt,
+                unroll=core.config.tokens_per_frame > 1)
+
+            noisy = zlerp(r_renoise, cur, self.noise_prev)
+            t_noisy = jnp.full_like(t, self.noise_prev)
+            _, cache = core.apply(params, noisy, t_noisy, cur_mouse, cur_btn,
+                                  kv_cache=cache, write=True, decoding=True)
+            return cache, rng, cur[:, 0]
+
+        return prefill, tick, capacity
+
+    def _sample_host(self, core, num_frames, key, params, x, mouse, btn,
+                     rng):
+        import numpy as np
+        b, init_len, c, h, w = x.shape
+        capacity = self.max_window or (init_len + num_frames)
+        if init_len > capacity:  # rolling semantics: keep the tail
+            x = x[:, -capacity:]
+            init_len = capacity
+        prefill, tick, capacity = self._jit.get(
+            ("host",) + key, lambda: self._host_fns(
+                core, num_frames, b, init_len, c, h, w, x.dtype))
+        cache = KVCache.from_config(core.config, b, capacity_frames=capacity,
+                                    dtype=x.dtype)
+        cache, rng = prefill(params, cache, x, mouse, btn, rng)
+        frames = []
+        for i in range(num_frames):
+            cache, rng, cur = tick(params, cache, rng, mouse, btn,
+                                   np.int32(i))
+            frames.append(cur)
+        out = jnp.concatenate([x, jnp.stack(frames, axis=1)], axis=1)
         return out
 
     def _sample(self, core, num_frames, params, x, mouse, btn, rng):

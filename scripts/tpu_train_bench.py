@@ -14,9 +14,17 @@ N_FRAMES = int(sys.argv[1]) if len(sys.argv) > 1 else 256
 B = int(sys.argv[2]) if len(sys.argv) > 2 else 1
 OPT = sys.argv[3] if len(sys.argv) > 3 else "adamw"  # adamw | muon
 
+# OWL_GEOM=5b -> the reference's dit_v4_5B geometry (36L x 20H x 2560d,
+# /root/reference/configs/dit_v4_5B.yml:6-8); default dit_v4 (16L x 1536d)
+GEOM = os.environ.get("OWL_GEOM", "v4")
+n_layers, n_heads, d_model = (36, 20, 2560) if GEOM == "5b" else (16, 24, 1536)
+# bf16 master params: halves param+update memory; needed to fit the 2.8B
+# 5B geometry's optimizer state on one 16 GB chip
+PARAMS_BF16 = os.environ.get("OWL_PARAMS_BF16") == "1"
+
 cfg = transformer_config(
-    model_id="game_rft", sample_size=8, channels=128, n_layers=16,
-    n_heads=24, d_model=1536, tokens_per_frame=64, n_buttons=11,
+    model_id="game_rft", sample_size=8, channels=128, n_layers=n_layers,
+    n_heads=n_heads, d_model=d_model, tokens_per_frame=64, n_buttons=11,
     cfg_prob=0.1, n_frames=max(N_FRAMES, 256), causal=True, uncond=False,
     backbone="dit", has_audio=False, rope_impl="motion",
     local_window=16, global_window=None, gradient_checkpointing=True,
@@ -34,6 +42,8 @@ mouse = jnp.asarray(rs.randn(B, N_FRAMES, 2), jnp.bfloat16)
 btn = jnp.asarray(rs.rand(B, N_FRAMES, 11) > 0.5, jnp.bfloat16)
 params = model.init({"params": jax.random.key(0), "noise": jax.random.key(1)},
                     x, mouse, btn)["params"]
+if PARAMS_BF16:
+    params = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
 if OPT.lower() == "muon":
     # the optimizer the reference actually trains with
     # (owl_wms/muon.py:117-176 CombinedOptimizer); one momentum slot
@@ -44,6 +54,11 @@ if OPT.lower() == "muon":
                    adamw_keys=["t_embed", "control_embed", "proj_in",
                                "proj_out", "adaln", "gate"],
                    momentum_dtype=mom_dtype)
+elif OPT.lower() == "sgd":
+    # stateless: for fit probes of geometries whose optimizer slots
+    # don't fit single-chip (dit_v4_5B spot check — on a pod the state
+    # shards via the fsdp axis, tests/test_multichip_dryrun.py)
+    tx = optax.sgd(1e-4)
 else:
     tx = optax.adamw(1e-4)
 opt = tx.init(params)

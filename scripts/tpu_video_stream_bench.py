@@ -19,7 +19,8 @@ cfg = transformer_config(
     cfg_prob=0.0, n_frames=max(CAP_FRAMES + N_GEN + 8, 256), causal=True,
     uncond=False, backbone="dit", has_audio=False, rope_impl="motion",
     local_window=16, global_window=None,
-    split_local_cache=os.environ.get("OWL_SPLIT_CACHE", "1") == "1")
+    split_local_cache=(lambda s: s if s == "auto" else s == "1")(
+        os.environ.get("OWL_SPLIT_CACHE", "auto")))
 core = GameRFTCore(cfg, dtype=jnp.bfloat16)
 rs = np.random.RandomState(0)
 init_len = 8

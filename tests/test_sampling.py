@@ -159,3 +159,23 @@ def test_causal_av_window_samplers():
                                      jax.random.key(1))
         assert xl.shape == (1, 6, 4, 2, 2)
         assert np.isfinite(np.asarray(xl)).all()
+
+
+def test_av_caching_v2_host_loop_matches_scan():
+    # loop_mode="host" (the serve default) runs a donated per-frame tick
+    # from the host; rng schedule is identical to the one-scan mode, so
+    # outputs must match exactly (fp32 on CPU), incl. CFG and a rolling
+    # window that truncates the context.
+    cfg, core, params = _video_core()
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randn(1, 4, 4, 2, 2), F32)
+    mouse = jnp.asarray(rs.randn(1, 10, 2), F32)
+    btn = jnp.asarray(rs.rand(1, 10, 3) > 0.5, F32)
+    for kw in ({"cfg_scale": 1.3}, {"cfg_scale": 1.0, "max_window": 3}):
+        mk = lambda mode: get_sampler_cls("av_caching")(
+            n_steps=2, num_frames=6, noise_prev=0.2, loop_mode=mode, **kw)
+        out_scan = mk("scan")(core, params, x, mouse, btn, jax.random.key(1))
+        out_host = mk("host")(core, params, x, mouse, btn, jax.random.key(1))
+        assert out_host.shape == out_scan.shape
+        np.testing.assert_allclose(np.asarray(out_host),
+                                   np.asarray(out_scan), atol=1e-5)
