@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from ..ops.attention import dot_attention
+from ..ops.attention import dot_attention, cached_dot_attention
 from ..ops.masks import dense_mask, decode_mask_from_cache
 from ..ops.norms import rms_norm
 from ..ops.rope import rope_table_for
@@ -199,14 +199,22 @@ def cached_attention(cfg, layer_idx: int, local: bool, dtype,
             n_gather = local_w * tpf - L
             gk, gv, gather_valid = kv_cache.gather_trailing(
                 layer_idx, n_gather, local=True)
-            k = jnp.concatenate([gk.astype(k.dtype), k], axis=2)
-            v = jnp.concatenate([gv.astype(v.dtype), v], axis=2)
-            mask = jnp.concatenate(
-                [gather_valid, jnp.ones((L,), dtype=bool)])[None, :]
+            out = cached_dot_attention(
+                q.astype(dtype), gk.astype(dtype), gv.astype(dtype),
+                k.astype(dtype), v.astype(dtype),
+                jnp.concatenate([gather_valid,
+                                 jnp.ones((L,), dtype=bool)])[None, :])
+            return out, kv_write
         else:
+            # no-concat cached attention: the ring K/V are read in place
+            # by their own QK^T / prob@V matmuls (concatenating them with
+            # the new tokens copies the whole ring per layer per forward
+            # — measured as the serve loop's dominant bandwidth cost)
             ck, cv = kv_cache.read_layer(layer_idx)
-            k = jnp.concatenate([ck.astype(k.dtype), k], axis=2)
-            v = jnp.concatenate([cv.astype(v.dtype), v], axis=2)
+            out = cached_dot_attention(
+                q.astype(dtype), ck.astype(dtype), cv.astype(dtype),
+                k.astype(dtype), v.astype(dtype), mask)
+            return out, kv_write
 
     if splash and kv_cache is None:
         from ..ops.splash import splash_attention
