@@ -123,6 +123,7 @@ MODEL_DEFAULTS: Dict[str, Any] = dict(
     # TPU attention path selection (framework extensions)
     attn_impl="auto",     # training path: auto | dense | splash
     decode_impl="auto",   # cached decode: auto | dense | flash
+    cache_attn_impl="concat",  # ring+new merge: concat | noconcat
 )
 
 TRAIN_DEFAULTS: Dict[str, Any] = dict(

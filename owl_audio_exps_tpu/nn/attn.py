@@ -190,6 +190,15 @@ def cached_attention(cfg, layer_idx: int, local: bool, dtype,
             return out, kv_write
 
         local_w = cfg.get("local_window")
+        # cache_attn_impl: "concat" (default) materializes [ring | new]
+        # K/V and runs one fused attention — on v5e XLA fuses the
+        # concatenate into the attention consumer, so no ring copy
+        # actually lands in HBM, and the single fused softmax beats the
+        # split-matmul variant (A/B on-chip: cap=120 serve 68.6 vs
+        # 60.2 f/s, 98k ring 72.6 vs 110.6 ms/frame). "noconcat" keeps
+        # the two-source scores path (cached_dot_attention) as the
+        # opt-in for backends where the concat DOES copy.
+        noconcat = cfg.get("cache_attn_impl", "concat") == "noconcat"
         if mask is None and local and can_local_gather(cfg, L, kv_cache):
             # decode fast path: a local layer sees only the trailing
             # local_window frames of [cache | current] — a contiguous
@@ -199,21 +208,35 @@ def cached_attention(cfg, layer_idx: int, local: bool, dtype,
             n_gather = local_w * tpf - L
             gk, gv, gather_valid = kv_cache.gather_trailing(
                 layer_idx, n_gather, local=True)
-            out = cached_dot_attention(
-                q.astype(dtype), gk.astype(dtype), gv.astype(dtype),
-                k.astype(dtype), v.astype(dtype),
-                jnp.concatenate([gather_valid,
-                                 jnp.ones((L,), dtype=bool)])[None, :])
+            gmask = jnp.concatenate(
+                [gather_valid, jnp.ones((L,), dtype=bool)])[None, :]
+            if noconcat:
+                out = cached_dot_attention(
+                    q.astype(dtype), gk.astype(dtype), gv.astype(dtype),
+                    k.astype(dtype), v.astype(dtype), gmask)
+            else:
+                out = dot_attention(
+                    q.astype(dtype),
+                    jnp.concatenate([gk.astype(dtype), k.astype(dtype)],
+                                    axis=2),
+                    jnp.concatenate([gv.astype(dtype), v.astype(dtype)],
+                                    axis=2),
+                    gmask)
             return out, kv_write
         else:
-            # no-concat cached attention: the ring K/V are read in place
-            # by their own QK^T / prob@V matmuls (concatenating them with
-            # the new tokens copies the whole ring per layer per forward
-            # — measured as the serve loop's dominant bandwidth cost)
             ck, cv = kv_cache.read_layer(layer_idx)
-            out = cached_dot_attention(
-                q.astype(dtype), ck.astype(dtype), cv.astype(dtype),
-                k.astype(dtype), v.astype(dtype), mask)
+            if noconcat:
+                out = cached_dot_attention(
+                    q.astype(dtype), ck.astype(dtype), cv.astype(dtype),
+                    k.astype(dtype), v.astype(dtype), mask)
+            else:
+                out = dot_attention(
+                    q.astype(dtype),
+                    jnp.concatenate([ck.astype(dtype), k.astype(dtype)],
+                                    axis=2),
+                    jnp.concatenate([cv.astype(dtype), v.astype(dtype)],
+                                    axis=2),
+                    mask)
             return out, kv_write
 
     if splash and kv_cache is None:
