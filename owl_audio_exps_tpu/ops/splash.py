@@ -21,6 +21,7 @@ training attention. Q is pre-scaled (the kernel applies no 1/sqrt(d)).
 
 from __future__ import annotations
 
+import os
 from functools import lru_cache, partial
 from typing import Optional
 
@@ -100,14 +101,30 @@ def pad_to_block(seq_len: int, cap: int = 512) -> int:
     return -(-seq_len // block) * block
 
 
+def _env_block(name: str, default: int, seq_len: int) -> int:
+    """Env-tunable block size (on-chip sweeps, scripts/tpu_splash_sweep.py).
+    Falls back to ``default`` unless the override is a legal splash block
+    (multiple of 128 that divides seq_len)."""
+    v = os.environ.get(name)
+    if not v:
+        return default
+    b = int(v)
+    return b if (b >= 128 and b % 128 == 0 and seq_len % b == 0) else default
+
+
 def _block_sizes(q_len: int, kv_len: int) -> splash_kernel.BlockSizes:
-    bq = largest_divisor_block(q_len)
-    bkv = largest_divisor_block(kv_len)
+    bq = _env_block("OWL_SPLASH_BQ", largest_divisor_block(q_len), q_len)
+    bkv = _env_block("OWL_SPLASH_BKV", largest_divisor_block(kv_len), kv_len)
+    # backward blocks tune independently: dq/dkv have different operand
+    # residency (dkv re-reads Q rows per kv block; dq re-reads K/V per q
+    # block), so their sweet spots need not match the forward's
+    bq_bwd = _env_block("OWL_SPLASH_BQ_BWD", bq, q_len)
+    bkv_bwd = _env_block("OWL_SPLASH_BKV_BWD", bkv, kv_len)
     return splash_kernel.BlockSizes(
         block_q=bq, block_kv=bkv, block_kv_compute=bkv,
-        block_q_dkv=bq, block_kv_dkv=bkv,
-        block_kv_dkv_compute=bkv,
-        block_q_dq=bq, block_kv_dq=bkv,
+        block_q_dkv=bq_bwd, block_kv_dkv=bkv_bwd,
+        block_kv_dkv_compute=bkv_bwd,
+        block_q_dq=bq_bwd, block_kv_dq=bkv_bwd,
     )
 
 

@@ -40,10 +40,27 @@ rs = np.random.RandomState(0)
 x = jnp.asarray(rs.randn(B, N_FRAMES, 128, 8, 8), jnp.bfloat16)
 mouse = jnp.asarray(rs.randn(B, N_FRAMES, 2), jnp.bfloat16)
 btn = jnp.asarray(rs.rand(B, N_FRAMES, 11) > 0.5, jnp.bfloat16)
-params = model.init({"params": jax.random.key(0), "noise": jax.random.key(1)},
-                    x, mouse, btn)["params"]
 if PARAMS_BF16:
-    params = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
+    # fit probe: flax init materializes the whole f32 tree before any
+    # cast can fuse (measured 23.4 GB program for the 2.8B 5B geometry).
+    # Instead take shapes from eval_shape (zero memory) and fill each
+    # leaf directly in bf16 — peak = final tree + one leaf. Init
+    # distribution is irrelevant for a throughput/fit probe.
+    tree = jax.eval_shape(
+        lambda k: model.init({"params": k, "noise": jax.random.key(1)},
+                             x, mouse, btn)["params"],
+        jax.random.key(0))
+    leaves, treedef = jax.tree.flatten(tree)
+    fill = jax.jit(lambda k, i: 0.02 * jax.random.normal(
+        jax.random.fold_in(k, i), leaves[i].shape, jnp.bfloat16),
+        static_argnums=1)
+    key = jax.random.key(0)
+    params = jax.tree.unflatten(
+        treedef, [fill(key, i) for i in range(len(leaves))])
+else:
+    params = jax.jit(lambda k: model.init(
+        {"params": k, "noise": jax.random.key(1)}, x, mouse, btn)["params"]
+    )(jax.random.key(0))
 if OPT.lower() == "muon":
     # the optimizer the reference actually trains with
     # (owl_wms/muon.py:117-176 CombinedOptimizer); one momentum slot
@@ -54,14 +71,17 @@ if OPT.lower() == "muon":
                    adamw_keys=["t_embed", "control_embed", "proj_in",
                                "proj_out", "adaln", "gate"],
                    momentum_dtype=mom_dtype)
-elif OPT.lower() == "sgd":
+elif OPT.lower() in ("sgd", "fusedsgd"):
     # stateless: for fit probes of geometries whose optimizer slots
     # don't fit single-chip (dit_v4_5B spot check — on a pod the state
-    # shards via the fsdp axis, tests/test_multichip_dryrun.py)
+    # shards via the fsdp axis, tests/test_multichip_dryrun.py).
+    # fusedsgd applies p - lr*g directly in the step: optax.sgd's
+    # update tree materialized a third full-param tensor set (measured
+    # +5.7 GB at 5B geometry — the 19.8 GB OOM in docs/LONGCTX.md)
     tx = optax.sgd(1e-4)
 else:
     tx = optax.adamw(1e-4)
-opt = tx.init(params)
+opt = tx.init(params) if OPT.lower() != "fusedsgd" else ()
 
 def loss_fn(p, rng):
     return model.apply({"params": p}, x, mouse, btn,
@@ -77,6 +97,11 @@ def step(p, o, rng):
         # cast fuses into the backward's final grad accumulation: grad
         # buffers materialize at half size (Muon NS5 is bf16 anyway)
         g = jax.tree.map(lambda x: x.astype(jnp.bfloat16), g)
+    if OPT.lower() == "fusedsgd":
+        p = jax.tree.map(
+            lambda a, b: (a - 1e-4 * b.astype(a.dtype)).astype(a.dtype),
+            p, g)
+        return p, o, loss
     up, o = tx.update(g, o, p)
     return optax.apply_updates(p, up), o, loss
 
