@@ -108,4 +108,4 @@ for name, opts in OPTION_SETS:
         msg = str(e)
         print("%-16s FAILED (%.0fs): %s" % (
             name, time.perf_counter() - t0,
-            msg[:400].replace("\n", " ")), flush=True)
+            (msg[:600] + " ...TAIL... " + msg[-1800:]).replace("\n", " ")), flush=True)
