@@ -105,7 +105,16 @@ for name, opts in OPTION_SETS:
                 float(loss), time.perf_counter() - t1), flush=True)
             break
     except Exception as e:  # noqa: BLE001 — probe script, print and move on
+        import re as _re
         msg = str(e)
-        print("%-16s FAILED (%.0fs): %s" % (
-            name, time.perf_counter() - t0,
-            (msg[:600] + " ...TAIL... " + msg[-1800:]).replace("\n", " ")), flush=True)
+        used = _re.search(r"Used ([0-9.]+[MG]) of ([0-9.]+[MG]) hbm", msg)
+        over = _re.search(r"Exceeded hbm capacity by ([0-9.]+[MG])", msg)
+        if used:
+            print("%-16s OOM (%.0fs): used %s of %s (over by %s)" % (
+                name, time.perf_counter() - t0, used.group(1), used.group(2),
+                over.group(1) if over else "?"), flush=True)
+        else:
+            print("%-16s FAILED (%.0fs): %s" % (
+                name, time.perf_counter() - t0,
+                (msg[:600] + " ...TAIL... " + msg[-1200:]).replace("\n", " ")),
+                flush=True)
