@@ -338,16 +338,64 @@ class Attn(nn.Module):
         # QKVProj for the memory rationale.
         qs, ks, vs = QKVProj(cfg.d_model, H, dtype=self.dtype,
                              name="qkv")(x)
-        q = jnp.transpose(qs, (0, 2, 1, 3))  # [B, H, L, Dh]
-        k = jnp.transpose(ks, (0, 2, 1, 3))
-        v = jnp.transpose(vs, (0, 2, 1, 3))
-        q, k = rms_norm(q), rms_norm(k)
 
         rope = rope_table_for(cfg)
         if kv_cache is not None:
             positions = kv_cache.write_positions(L)
         else:
             positions = jnp.arange(L, dtype=jnp.int32)
+
+        hc_n = cfg.get("splash_head_chunks", 1)
+        if (splash and kv_cache is None and hc_n > 1
+                and cfg.get("fused_head_chunks", False)
+                and H % hc_n == 0 and H > hc_n):
+            # Fused head-chunked training path (opt-in,
+            # fused_head_chunks: true): transpose + QK-norm + RoPE +
+            # splash kernel run per H/hc_n-head slice, chained behind
+            # optimization barriers, so the full heads-major rotated
+            # [B, H, L, Dh] tensors (Dh=64 minor dim tile-pads 2.0x)
+            # never materialize and the output re-flattens to clean
+            # [B, L, d] lanes. Measured at 1536 frames it removes the
+            # 18 layout-transposed 288 MB residual copies from the OOM
+            # window but the axon scheduler re-spends the savings
+            # elsewhere (15.99 -> 17.63 G program, docs/LONGCTX.md), so
+            # it stays opt-in pending a scheduler that honors it.
+            from ..ops.splash import splash_attention
+            window = cfg.get("local_window") if self.local \
+                else cfg.get("global_window")
+            Hc = H // hc_n
+            Dh_ = cfg.d_model // H
+            outs = []
+            dep = None
+            for c in range(hc_n):
+                qc = qs[:, :, c * Hc:(c + 1) * Hc, :]
+                kc = ks[:, :, c * Hc:(c + 1) * Hc, :]
+                vc = vs[:, :, c * Hc:(c + 1) * Hc, :]
+                if dep is not None:
+                    qc, kc, vc, dep = jax.lax.optimization_barrier(
+                        (qc, kc, vc, dep))
+                qc = jnp.transpose(qc, (0, 2, 1, 3))  # [B, Hc, L, Dh]
+                kc = jnp.transpose(kc, (0, 2, 1, 3))
+                vc = jnp.transpose(vc, (0, 2, 1, 3))
+                qc, kc = rms_norm(qc), rms_norm(kc)
+                qc = rope(qc, positions)
+                kc = rope(kc, positions)
+                oc = splash_attention(
+                    qc.astype(self.dtype), kc.astype(self.dtype),
+                    vc.astype(self.dtype), cfg.tokens_per_frame, window,
+                    bool(cfg.causal), doc_id)
+                oc = jnp.transpose(oc, (0, 2, 1, 3)).reshape(
+                    B, L, Hc * Dh_)
+                dep = oc
+                outs.append(oc)
+            out = jnp.concatenate(outs, axis=-1)
+            out = Linear(cfg.d_model, dtype=self.dtype, name="out")(out)
+            return out, None
+
+        q = jnp.transpose(qs, (0, 2, 1, 3))  # [B, H, L, Dh]
+        k = jnp.transpose(ks, (0, 2, 1, 3))
+        v = jnp.transpose(vs, (0, 2, 1, 3))
+        q, k = rms_norm(q), rms_norm(k)
         q = rope(q, positions)
         k = rope(k, positions)
 
