@@ -79,6 +79,12 @@ elif OPT.lower() in ("sgd", "fusedsgd"):
     # update tree materialized a third full-param tensor set (measured
     # +5.7 GB at 5B geometry — the 19.8 GB OOM in docs/LONGCTX.md)
     tx = optax.sgd(1e-4)
+elif OPT.lower() == "adamw_lowmem":
+    # bf16 moments: same memory class as Muon's single bf16 slot, so
+    # the optimizer A/B runs at equal context (f32 adamw OOMs by 140 MB
+    # at 1024 frames)
+    from owl_audio_exps_tpu.muon import adamw_lowmem
+    tx = adamw_lowmem(1e-4)
 else:
     tx = optax.adamw(1e-4)
 opt = tx.init(params) if OPT.lower() != "fusedsgd" else ()
