@@ -150,6 +150,52 @@ def build_masks(
     return local, glob
 
 
+def train_attention(cfg, local: bool, q, k, v, doc_id=None,
+                    head_chunks: Optional[int] = None):
+    """No-cache (training / full-window) attention dispatch.
+
+    Causal local-window layers route to the custom band kernel
+    (ops/band.py) on TPU — the generic splash grid runs dit_v4's
+    16-frame band at 5% MFU because its per-(head, q-block) row
+    overhead can't amortize over 2-3 KV steps (PERF.md). Document-
+    packed batches, global layers, bidirectional and indivisible
+    windows keep the splash kernel; ops/local.py's chunked XLA
+    formulation serves non-TPU backends. Override with config
+    ``local_attn_impl`` in {'auto', 'band', 'chunked', 'splash'}.
+    """
+    tpf = cfg.tokens_per_frame
+    window = cfg.get("local_window") if local else cfg.get("global_window")
+    impl = cfg.get("local_attn_impl", "auto")
+    if (local and window is not None and impl != "splash"
+            and bool(cfg.causal) and doc_id is None):
+        # the band kernel has no document-packing support — packed
+        # batches keep the splash path (SegmentIds)
+        L = q.shape[2]
+        try:
+            on_tpu = jax.devices()[0].platform == "tpu"
+        except Exception:
+            on_tpu = False
+        from ..ops.band import band_attention, band_available
+        from ..ops.local import (chunked_local_attention,
+                                 chunked_local_available)
+        if impl in ("auto", "band") and on_tpu \
+                and band_available(L, tpf, window, True):
+            return band_attention(q, k, v, tpf, window)
+        if (impl == "chunked" or (impl == "auto" and not on_tpu)) \
+                and chunked_local_available(L, tpf, window, True):
+            return chunked_local_attention(q, k, v, tpf, window, doc_id)
+        if impl in ("band", "chunked"):
+            raise ValueError(
+                f"local_attn_impl={impl} requires a causal local window "
+                f"whose span divides the sequence (L={L}, "
+                f"tpf={tpf}, window={window})")
+    from ..ops.splash import splash_attention
+    if head_chunks is None:
+        head_chunks = cfg.get("splash_head_chunks", 1)
+    return splash_attention(q, k, v, tpf, window, bool(cfg.causal), doc_id,
+                            head_chunks=head_chunks)
+
+
 def cached_attention(cfg, layer_idx: int, local: bool, dtype,
                      q, k, v, mask, kv_cache: Optional[KVCache],
                      write: bool, splash: bool, decoding: bool,
@@ -240,12 +286,8 @@ def cached_attention(cfg, layer_idx: int, local: bool, dtype,
             return out, kv_write
 
     if splash and kv_cache is None:
-        from ..ops.splash import splash_attention
-        window = cfg.get("local_window") if local else cfg.get("global_window")
-        out = splash_attention(q.astype(dtype), k.astype(dtype),
-                               v.astype(dtype), tpf, window,
-                               bool(cfg.causal), doc_id,
-                               head_chunks=cfg.get("splash_head_chunks", 1))
+        out = train_attention(cfg, local, q.astype(dtype), k.astype(dtype),
+                              v.astype(dtype), doc_id)
     else:
         out = dot_attention(q.astype(dtype), k.astype(dtype),
                             v.astype(dtype), mask)
@@ -360,9 +402,6 @@ class Attn(nn.Module):
             # window but the axon scheduler re-spends the savings
             # elsewhere (15.99 -> 17.63 G program, docs/LONGCTX.md), so
             # it stays opt-in pending a scheduler that honors it.
-            from ..ops.splash import splash_attention
-            window = cfg.get("local_window") if self.local \
-                else cfg.get("global_window")
             Hc = H // hc_n
             Dh_ = cfg.d_model // H
             outs = []
@@ -380,10 +419,10 @@ class Attn(nn.Module):
                 qc, kc = rms_norm(qc), rms_norm(kc)
                 qc = rope(qc, positions)
                 kc = rope(kc, positions)
-                oc = splash_attention(
-                    qc.astype(self.dtype), kc.astype(self.dtype),
-                    vc.astype(self.dtype), cfg.tokens_per_frame, window,
-                    bool(cfg.causal), doc_id)
+                oc = train_attention(
+                    cfg, self.local, qc.astype(self.dtype),
+                    kc.astype(self.dtype), vc.astype(self.dtype),
+                    doc_id, head_chunks=1)
                 oc = jnp.transpose(oc, (0, 2, 1, 3)).reshape(
                     B, L, Hc * Dh_)
                 dep = oc

@@ -1,0 +1,301 @@
+"""Custom Pallas band-attention kernel for frame-causal sliding windows.
+
+dit_v4's local layers (12 of 16; ``local_window: 16`` frames x tpf=64,
+reference: owl_wms/nn/attn.py:43-58 + configs/dit_v4.yml) are a narrow
+banded attention: window span C = window*tpf tokens, and a query chunk
+of C tokens sees exactly [previous chunk | own chunk]. Measured on v5e
+at 65k tokens, the generic splash kernel runs this band at 5% MFU and
+the cost is structural: ~12 us of pipeline-refill overhead per
+(head, q-block) grid row, unamortizable when each row has only 2-3 KV
+steps (scripts/tpu_local_splash_sweep.py; block sizes are a no-op).
+
+This kernel makes the band the unit of work: one grid step computes one
+(head, chunk) row's ENTIRE attention — q [C, Dh] against kv [2C, Dh] —
+as dense MXU matmuls with the visibility mask generated inline from
+iota (no mask metadata, no partial-block machinery, no DMA'd masks).
+Row softmax runs over the full band at once (no online rescaling);
+query rows are processed in sub-blocks to bound the f32 logits tiles in
+VMEM. The backward is ONE fused kernel: each grid step recomputes its
+chunk's softmax locally (the whole band is in VMEM, so nothing is
+saved but q/k/v — no lse/delta residuals) and emits dq plus dk/dv
+partial planes split by target chunk, combined by a shift-add in XLA.
+
+Numerics: f32 logits/softmax, bf16 matmul operands, f32 PV accumulation
+— the same contract as ops/attention.dot_attention, which is the oracle
+in tests/test_band_attention.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+def band_available(n_tokens: int, tokens_per_frame: int,
+                   window: Optional[int], causal: bool) -> bool:
+    """Kernel preconditions: causal frame window whose span C divides the
+    sequence, C a multiple of the (8, 128) f32 tile, >= 2 chunks."""
+    if window is None or not causal:
+        return False
+    C = window * tokens_per_frame
+    return (n_tokens % C == 0 and n_tokens >= 2 * C
+            and C % 128 == 0 and C >= 128)
+
+
+def _sub_rows(C: int) -> int:
+    """Query-row sub-block: the largest divisor of C (multiple of 128,
+    so lse sub-slices stay lane-aligned) keeping each [rows, C] f32
+    logits tile around 1 MB — the kernels' VMEM stack stays well under
+    the ~16 MB scope at any C."""
+    target = max(128, (1 << 20) // (4 * C))
+    for s in range(min(C, target) // 128 * 128, 127, -128):
+        if C % s == 0:
+            return s
+    return C
+
+
+def _mask_tile(r0: int, rows: int, C: int, tpf: int, window: int,
+               prev_half: bool, dtype=jnp.float32):
+    """0/1 visibility of self-chunk q rows [r0, r0+rows) over one
+    C-column kv half (same algebra as ops/masks.dense_mask:
+    0 <= frame_q - frame_kv < window; the q chunk occupies local frames
+    [window, 2*window), the prev half frames [0, window)).
+
+    The band shape is VPU-bound (PERF.md: identical 47 ms/layer for
+    splash and a naive band kernel — softmax/mask elementwise passes
+    dominate while the MXU idles), so this is built in as few full-tile
+    passes as possible: frame ids come from rank-1 iotas (rows x 1 and
+    1 x C — negligible), and 0 <= d < window folds into ONE unsigned
+    compare on the broadcasted difference (negative d wraps to huge).
+    Returned as 0/1 floats: callers multiply instead of select."""
+    ri = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0) + r0
+    ci = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
+    fq = window + ri // tpf
+    fkv = ci // tpf + (0 if prev_half else window)
+    d = (fq - fkv).astype(jnp.uint32)              # 1 full-tile pass
+    return (d < window).astype(dtype)              # 1 full-tile pass
+
+
+# --------------------------------------------------------------- forward
+
+def _fwd_kernel(q_ref, kp_ref, ks_ref, vp_ref, vs_ref, o_ref,
+                *, tpf, window, sub):
+    i = pl.program_id(1)
+    C = q_ref.shape[1]
+    kp, ks = kp_ref[0], ks_ref[0]
+    for r0 in range(0, C, sub):
+        q = q_ref[0, r0:r0 + sub]                  # [sub, Dh] bf16
+        sp = jax.lax.dot_general(
+            q, kp, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)    # [sub, C]
+        ss = jax.lax.dot_general(
+            q, ks, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        # chunk 0 has no predecessor: its "prev" operand is a clamped
+        # re-read of chunk 0 — masked out entirely. 0/1 float masks:
+        # exps are multiplied instead of logits where'd to -inf, and
+        # the row max runs over mask-ZEROED logits — an upper bound of
+        # the visible max (never below max-visible or 0), so the
+        # softmax is unchanged and numerically safe while skipping the
+        # NEG_INF select pass.
+        mp = _mask_tile(r0, sub, C, tpf, window, True) * (i > 0)
+        ms = _mask_tile(r0, sub, C, tpf, window, False)
+        spz = sp * mp
+        ssz = ss * ms
+        m = jnp.maximum(jnp.max(spz, axis=-1, keepdims=True),
+                        jnp.max(ssz, axis=-1, keepdims=True))
+        # min(s - m, 0) is an identity for visible logits (m bounds
+        # them above) and stops exp overflow turning masked inf*0
+        # into NaN
+        ep = jnp.exp(jnp.minimum(sp - m, 0.0)) * mp
+        es = jnp.exp(jnp.minimum(ss - m, 0.0)) * ms
+        denom = (jnp.sum(ep, axis=-1, keepdims=True)
+                 + jnp.sum(es, axis=-1, keepdims=True))
+        # 1/denom applies to the [sub, Dh] output, not the [sub, C]
+        # probabilities — one narrow pass instead of two wide ones
+        out = jax.lax.dot_general(
+            ep.astype(vp_ref.dtype), vp_ref[0],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        out += jax.lax.dot_general(
+            es.astype(vs_ref.dtype), vs_ref[0],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        o_ref[0, r0:r0 + sub] = (out / denom).astype(o_ref.dtype)
+
+
+def _fwd(q, k, v, tokens_per_frame, window, interpret=False):
+    H, L, Dh = q.shape
+    C = window * tokens_per_frame
+    nc = L // C
+
+    cur = pl.BlockSpec((1, C, Dh), lambda h, i: (h, i, 0))
+    prev = pl.BlockSpec((1, C, Dh), lambda h, i: (h, jnp.maximum(i - 1, 0), 0))
+
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, tpf=tokens_per_frame,
+                          window=window, sub=_sub_rows(C)),
+        grid=(H, nc),
+        in_specs=[cur, prev, cur, prev, cur],
+        out_specs=pl.BlockSpec((1, C, Dh), lambda h, i: (h, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((H, L, Dh), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(q, k, k, v, v)
+
+
+# -------------------------------------------------------------- backward
+
+def _bwd_kernel(q_ref, kp_ref, ks_ref, vp_ref, vs_ref, do_ref,
+                dq_ref, dks_ref, dkp_ref, dvs_ref, dvp_ref,
+                *, tpf, window, sub):
+    """Fused backward: one grid step recomputes chunk i's row softmax
+    (it sees the whole band, so no saved lse/delta is needed — delta
+    falls out as sum_j p_j dp_j) and emits dq for chunk i plus chunk
+    i's dk/dv contributions, split by target: dks/dvs accumulate into
+    kv chunk i (the self half), dkp/dvp into kv chunk i-1 (the prev
+    half). Each grid step owns its own output blocks; the caller
+    shift-adds the prev planes into the self planes in XLA.
+    """
+    i = pl.program_id(1)
+    C, Dh = q_ref.shape[1], q_ref.shape[2]
+    kp, ks = kp_ref[0], ks_ref[0]
+    vp, vs = vp_ref[0], vs_ref[0]
+    dks = jnp.zeros((C, Dh), jnp.float32)
+    dkp = jnp.zeros((C, Dh), jnp.float32)
+    dvs = jnp.zeros((C, Dh), jnp.float32)
+    dvp = jnp.zeros((C, Dh), jnp.float32)
+    for r0 in range(0, C, sub):
+        q = q_ref[0, r0:r0 + sub]
+        do = do_ref[0, r0:r0 + sub].astype(jnp.float32)
+        sp = jax.lax.dot_general(
+            q, kp, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)    # [sub, C]
+        ss = jax.lax.dot_general(
+            q, ks, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        mp = _mask_tile(r0, sub, C, tpf, window, True) * (i > 0)
+        ms = _mask_tile(r0, sub, C, tpf, window, False)
+        m = jnp.maximum(jnp.max(sp * mp, axis=-1, keepdims=True),
+                        jnp.max(ss * ms, axis=-1, keepdims=True))
+        ep = jnp.exp(jnp.minimum(sp - m, 0.0)) * mp
+        es = jnp.exp(jnp.minimum(ss - m, 0.0)) * ms
+        inv = 1.0 / (jnp.sum(ep, axis=-1, keepdims=True)
+                     + jnp.sum(es, axis=-1, keepdims=True))
+        dpp = jax.lax.dot_general(
+            do.astype(vp.dtype), vp, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dps = jax.lax.dot_general(
+            do.astype(vs.dtype), vs, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        # p = e * inv; delta = sum_j p_j dp_j; dS = p * (dp - delta).
+        # inv folds into the row stats, so p itself is never formed:
+        # dS = e * inv * (dp - delta) with (dp - delta)*inv one pass.
+        delta = (jnp.sum(ep * dpp, axis=-1, keepdims=True)
+                 + jnp.sum(es * dps, axis=-1, keepdims=True)) * inv
+        dsp = ep * ((dpp - delta) * inv)
+        dss = es * ((dps - delta) * inv)
+        dsp_b = dsp.astype(q.dtype)
+        dss_b = dss.astype(q.dtype)
+        dq = jax.lax.dot_general(
+            dsp_b, kp, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dq += jax.lax.dot_general(
+            dss_b, ks, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dq_ref[0, r0:r0 + sub] = dq.astype(dq_ref.dtype)
+        # contract over the q-row dim directly (dim 0 x dim 0) — an
+        # explicit .T would materialize a transposed VMEM copy.
+        # dV = p^T @ dO: fold inv into dO per-row (narrow pass).
+        do_scaled = (do * inv).astype(q.dtype)
+        ep_b = ep.astype(q.dtype)
+        es_b = es.astype(q.dtype)
+        dvp = dvp + jax.lax.dot_general(
+            ep_b, do_scaled, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dvs = dvs + jax.lax.dot_general(
+            es_b, do_scaled, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dkp = dkp + jax.lax.dot_general(
+            dsp_b, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dks = dks + jax.lax.dot_general(
+            dss_b, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    dks_ref[0] = dks.astype(dks_ref.dtype)
+    dkp_ref[0] = dkp.astype(dkp_ref.dtype)
+    dvs_ref[0] = dvs.astype(dvs_ref.dtype)
+    dvp_ref[0] = dvp.astype(dvp_ref.dtype)
+
+
+def _bwd(tokens_per_frame, window, interpret, res, g):
+    q, k, v = res
+    H, L, Dh = q.shape
+    C = window * tokens_per_frame
+    nc = L // C
+    g = g.astype(q.dtype)
+
+    cur = pl.BlockSpec((1, C, Dh), lambda h, i: (h, i, 0))
+    prev = pl.BlockSpec((1, C, Dh), lambda h, i: (h, jnp.maximum(i - 1, 0), 0))
+    shape = jax.ShapeDtypeStruct((H, L, Dh), q.dtype)
+
+    dq, dks, dkp, dvs, dvp = pl.pallas_call(
+        functools.partial(_bwd_kernel, tpf=tokens_per_frame,
+                          window=window, sub=_sub_rows(C)),
+        grid=(H, nc),
+        in_specs=[cur, prev, cur, prev, cur, cur],
+        out_specs=[cur, cur, cur, cur, cur],
+        out_shape=[shape] * 5,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(q, k, k, v, v, g)
+
+    # grid step i wrote its prev-half contributions (targeting kv chunk
+    # i-1) at block i: shift the prev planes down one chunk and add
+    zeros = jnp.zeros((H, C, Dh), q.dtype)
+    dk = dks + jnp.concatenate([dkp[:, C:], zeros], axis=1)
+    dv = dvs + jnp.concatenate([dvp[:, C:], zeros], axis=1)
+
+    # residual q is pre-scaled (s = (q*scale) @ k^T), so dk carries the
+    # right factor already; d(q_unscaled) = scale * d(q_scaled).
+    return (dq.astype(q.dtype) * jnp.asarray(Dh ** -0.5, q.dtype),
+            dk.astype(q.dtype), dv.astype(q.dtype))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _band_attention_hl(q, k, v, tokens_per_frame, window, interpret):
+    return _fwd((q * (q.shape[-1] ** -0.5)).astype(q.dtype), k, v,
+                tokens_per_frame, window, interpret)
+
+
+def _band_fwd_rule(q, k, v, tokens_per_frame, window, interpret):
+    qs = (q * (q.shape[-1] ** -0.5)).astype(q.dtype)
+    out = _fwd(qs, k, v, tokens_per_frame, window, interpret)
+    return out, (qs, k, v)
+
+
+_band_attention_hl.defvjp(_band_fwd_rule, _bwd)
+
+
+def band_attention(q, k, v, tokens_per_frame: int, window: int,
+                   interpret: bool = False):
+    """Frame-causal sliding-window attention via the band kernel.
+
+    q/k/v: [B, H, L, Dh] (bf16 on TPU). Requires
+    ``band_available(L, tokens_per_frame, window, True)``.
+    Returns [B, H, L, Dh] in q's dtype.
+    """
+    B, H, L, Dh = q.shape
+    assert band_available(L, tokens_per_frame, window, True)
+    # batch folds into the head grid axis: every (b, h) row is an
+    # independent attention problem and a flat grid pipelines better
+    # than a vmap-prepended dimension
+    out = _band_attention_hl(
+        q.reshape(B * H, L, Dh), k.reshape(B * H, L, Dh),
+        v.reshape(B * H, L, Dh), tokens_per_frame, window, interpret)
+    return out.reshape(B, H, L, Dh)

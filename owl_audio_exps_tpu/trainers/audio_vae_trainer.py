@@ -128,4 +128,5 @@ class AudioVAETrainer(BaseTrainer):
             nxt = next(loader)
             wf = jnp.asarray(nxt[0] if isinstance(nxt, (list, tuple))
                              else nxt, jnp.bfloat16)
+        self.restore_preemption_handler()
         return state

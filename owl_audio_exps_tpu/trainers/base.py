@@ -287,10 +287,26 @@ class BaseTrainer:
             self._preempted = True
 
         try:
-            signal.signal(signal.SIGTERM, _handler)
-            signal.signal(signal.SIGINT, _handler)
+            self._prev_handlers = {
+                signal.SIGTERM: signal.signal(signal.SIGTERM, _handler),
+                signal.SIGINT: signal.signal(signal.SIGINT, _handler),
+            }
         except ValueError:
             pass  # not on the main thread (e.g. under test runners)
+
+    def restore_preemption_handler(self):
+        """Reinstate whatever handled SIGTERM/SIGINT before train() —
+        leaving the flag-setter installed after the loop returns makes
+        the surrounding process (test runner, notebook, serving shell)
+        silently un-killable."""
+        import signal
+
+        for sig, prev in getattr(self, "_prev_handlers", {}).items():
+            try:
+                signal.signal(sig, prev)
+            except ValueError:
+                pass
+        self._prev_handlers = {}
 
     def should_stop(self) -> bool:
         return getattr(self, "_preempted", False)

@@ -172,6 +172,7 @@ class RFTFamilyTrainer(BaseTrainer):
             profiler.start()
         from ..utils.checkpoints import wait_for_checkpoints
         wait_for_checkpoints()
+        self.restore_preemption_handler()
         return state
 
     def _wrapped_loss(self, params, batch, rng):

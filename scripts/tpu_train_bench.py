@@ -34,6 +34,7 @@ cfg = transformer_config(
     splash_head_chunks=int(os.environ.get("OWL_SPLASH_HEAD_CHUNKS", "1")),
     mlp_chunks=int(os.environ.get("OWL_MLP_CHUNKS", "1")),
     remat_sequenced=os.environ.get("OWL_REMAT_SEQ") == "1",
+    local_attn_impl=os.environ.get("OWL_LOCAL_ATTN", "auto"),
     scan_layers=os.environ.get("OWL_SCAN_LAYERS") == "1")
 model = GameRFT(cfg, dtype=jnp.bfloat16)
 rs = np.random.RandomState(0)

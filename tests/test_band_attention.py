@@ -1,0 +1,84 @@
+"""Band-attention Pallas kernel == dense oracle (interpret mode, CPU).
+
+ops/band.band_attention must reproduce dot_attention under
+dense_mask(L, tpf, window, causal=True) — forward and gradients —
+including the first chunk's missing predecessor and the last chunk's
+missing successor (dkv edge).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from owl_audio_exps_tpu.ops.attention import dot_attention
+from owl_audio_exps_tpu.ops.band import band_attention, band_available
+from owl_audio_exps_tpu.ops.masks import dense_mask
+
+
+def _qkv(rs, B, H, L, Dh):
+    return tuple(jnp.asarray(rs.randn(B, H, L, Dh), jnp.float32)
+                 for _ in range(3))
+
+
+@pytest.mark.parametrize("tpf,window,n_chunks", [
+    (64, 2, 2),     # C=128, minimal
+    (64, 2, 5),
+    (32, 8, 3),     # C=256
+    (128, 1, 4),    # window == 1 frame
+])
+def test_forward_matches_dense(tpf, window, n_chunks):
+    rs = np.random.RandomState(0)
+    C = window * tpf
+    L = n_chunks * C
+    B, H, Dh = 1, 2, 64
+    assert band_available(L, tpf, window, True)
+    q, k, v = _qkv(rs, B, H, L, Dh)
+    want = dot_attention(q, k, v, dense_mask(L, tpf, window, None, 0, True))
+    got = band_attention(q, k, v, tpf, window, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=3e-5, rtol=3e-5)
+
+
+def test_forward_batched():
+    rs = np.random.RandomState(1)
+    tpf, window, L = 64, 2, 512
+    q, k, v = _qkv(rs, 3, 2, L, 64)
+    want = dot_attention(q, k, v, dense_mask(L, tpf, window, None, 0, True))
+    got = band_attention(q, k, v, tpf, window, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=3e-5, rtol=3e-5)
+
+
+def test_gradients_match_dense():
+    rs = np.random.RandomState(2)
+    tpf, window, n_chunks = 64, 2, 3
+    C = window * tpf
+    L = n_chunks * C
+    q, k, v = _qkv(rs, 1, 2, L, 64)
+    gw = jnp.asarray(rs.randn(1, 2, L, 64), jnp.float32)  # cotangent
+
+    def loss_band(q, k, v):
+        return jnp.vdot(band_attention(q, k, v, tpf, window,
+                                       interpret=True), gw)
+
+    def loss_dense(q, k, v):
+        return jnp.vdot(dot_attention(
+            q, k, v, dense_mask(L, tpf, window, None, 0, True)), gw)
+
+    g = jax.grad(loss_band, argnums=(0, 1, 2))(q, k, v)
+    gd = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip("qkv", g, gd):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4, rtol=2e-4,
+            err_msg=f"d{name} mismatch")
+
+
+def test_availability_gate():
+    assert not band_available(512, 64, None, True)    # no window
+    assert not band_available(512, 64, 2, False)      # bidirectional
+    assert not band_available(600, 64, 2, True)       # C does not divide L
+    assert not band_available(128, 64, 2, True)       # single chunk
+    assert not band_available(130, 65, 1, True)       # C % 128 != 0
+    assert band_available(512, 64, 2, True)
+    assert band_available(98304, 64, 16, True)        # the dit_v4 config
