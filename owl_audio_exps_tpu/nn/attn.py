@@ -180,7 +180,9 @@ def train_attention(cfg, local: bool, q, k, v, doc_id=None,
                                  chunked_local_available)
         if impl in ("auto", "band") and on_tpu \
                 and band_available(L, tpf, window, True):
-            return band_attention(q, k, v, tpf, window)
+            hc = head_chunks if head_chunks is not None \
+                else cfg.get("splash_head_chunks", 1)
+            return band_attention(q, k, v, tpf, window, head_chunks=hc)
         if (impl == "chunked" or (impl == "auto" and not on_tpu)) \
                 and chunked_local_available(L, tpf, window, True):
             return chunked_local_attention(q, k, v, tpf, window, doc_id)

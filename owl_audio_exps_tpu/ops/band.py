@@ -151,15 +151,25 @@ def _fwd(q, k, v, tokens_per_frame, window, interpret=False):
 # -------------------------------------------------------------- backward
 
 def _bwd_kernel(q_ref, kp_ref, ks_ref, vp_ref, vs_ref, do_ref,
-                dq_ref, dks_ref, dkp_ref, dvs_ref, dvp_ref,
+                dq_ref, dke_ref, dko_ref, dve_ref, dvo_ref,
                 *, tpf, window, sub):
     """Fused backward: one grid step recomputes chunk i's row softmax
     (it sees the whole band, so no saved lse/delta is needed — delta
     falls out as sum_j p_j dp_j) and emits dq for chunk i plus chunk
-    i's dk/dv contributions, split by target: dks/dvs accumulate into
-    kv chunk i (the self half), dkp/dvp into kv chunk i-1 (the prev
-    half). Each grid step owns its own output blocks; the caller
-    shift-adds the prev planes into the self planes in XLA.
+    i's dk/dv contributions.
+
+    kv chunk t receives contributions from query chunks t (self) and
+    t+1 (prev), i.e. from two CONSECUTIVE grid steps — exactly the
+    revisit pattern Pallas output pipelining supports, if the two
+    writers of a block are adjacent in the grid. Splitting the dk/dv
+    outputs by target-chunk PARITY makes that true: the even plane's
+    block t/2 is written at steps t (assign self) and t+1 (accumulate
+    prev) while the block stays resident in VMEM, and symmetrically
+    for the odd plane. The accumulation therefore happens in-kernel:
+    total backward output is exactly dq+dk+dv bytes (a first cut wrote
+    separate self/prev planes and shift-added them in XLA — +2 full
+    planes +2 concat temps, which OOM'd the 65k training step inside
+    the remat-group backward window).
     """
     i = pl.program_id(1)
     C, Dh = q_ref.shape[1], q_ref.shape[2]
@@ -226,10 +236,36 @@ def _bwd_kernel(q_ref, kp_ref, ks_ref, vp_ref, vs_ref, do_ref,
         dks = dks + jax.lax.dot_general(
             dss_b, q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-    dks_ref[0] = dks.astype(dks_ref.dtype)
-    dkp_ref[0] = dkp.astype(dkp_ref.dtype)
-    dvs_ref[0] = dvs.astype(dvs_ref.dtype)
-    dvp_ref[0] = dvp.astype(dvp_ref.dtype)
+    even = i % 2 == 0
+
+    # even steps: even plane gets this chunk's self grads (first visit
+    # of its block -> assign); odd plane's resident block (chunk i-1)
+    # accumulates the prev-half grads. Odd steps: roles swap. Step 0's
+    # odd-plane visit is a clamped placeholder: dkp/dvp are zeros there
+    # (the prev mask carries i > 0), so the assign initializes block 0
+    # of the odd plane to zero ahead of step 1's self assign... which
+    # would overwrite it — hence step 1 (and every odd step) assigns.
+    @pl.when(even)
+    def _():
+        dke_ref[0, 0] = dks.astype(dke_ref.dtype)
+        dve_ref[0, 0] = dvs.astype(dve_ref.dtype)
+
+    @pl.when(even & (i > 0))
+    def _():
+        dko_ref[0, 0] += dkp.astype(dko_ref.dtype)
+        dvo_ref[0, 0] += dvp.astype(dvo_ref.dtype)
+
+    @pl.when(jnp.logical_not(even))
+    def _():
+        dko_ref[0, 0] = dks.astype(dko_ref.dtype)
+        dvo_ref[0, 0] = dvs.astype(dvo_ref.dtype)
+        dke_ref[0, 0] += dkp.astype(dke_ref.dtype)
+        dve_ref[0, 0] += dvp.astype(dve_ref.dtype)
+
+    @pl.when(i == 0)
+    def _():
+        dko_ref[0, 0] = dkp.astype(dko_ref.dtype)  # zeros: masked i>0
+        dvo_ref[0, 0] = dvp.astype(dvo_ref.dtype)
 
 
 def _bwd(tokens_per_frame, window, interpret, res, g):
@@ -241,30 +277,39 @@ def _bwd(tokens_per_frame, window, interpret, res, g):
 
     cur = pl.BlockSpec((1, C, Dh), lambda h, i: (h, i, 0))
     prev = pl.BlockSpec((1, C, Dh), lambda h, i: (h, jnp.maximum(i - 1, 0), 0))
-    shape = jax.ShapeDtypeStruct((H, L, Dh), q.dtype)
+    ne = (nc + 1) // 2                 # even-parity target chunks
+    no = nc // 2                       # odd-parity target chunks
+    ev = pl.BlockSpec((1, 1, C, Dh), lambda h, i: (h, i // 2, 0, 0))
+    od = pl.BlockSpec((1, 1, C, Dh),
+                      lambda h, i: (h, jnp.maximum((i - 1) // 2, 0), 0, 0))
 
-    dq, dks, dkp, dvs, dvp = pl.pallas_call(
+    dq, dke, dko, dve, dvo = pl.pallas_call(
         functools.partial(_bwd_kernel, tpf=tokens_per_frame,
                           window=window, sub=_sub_rows(C)),
         grid=(H, nc),
         in_specs=[cur, prev, cur, prev, cur, cur],
-        out_specs=[cur, cur, cur, cur, cur],
-        out_shape=[shape] * 5,
+        out_specs=[cur, ev, od, ev, od],
+        out_shape=[jax.ShapeDtypeStruct((H, L, Dh), q.dtype),
+                   jax.ShapeDtypeStruct((H, ne, C, Dh), q.dtype),
+                   jax.ShapeDtypeStruct((H, no, C, Dh), q.dtype),
+                   jax.ShapeDtypeStruct((H, ne, C, Dh), q.dtype),
+                   jax.ShapeDtypeStruct((H, no, C, Dh), q.dtype)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
     )(q, k, k, v, v, g)
 
-    # grid step i wrote its prev-half contributions (targeting kv chunk
-    # i-1) at block i: shift the prev planes down one chunk and add
-    zeros = jnp.zeros((H, C, Dh), q.dtype)
-    dk = dks + jnp.concatenate([dkp[:, C:], zeros], axis=1)
-    dv = dvs + jnp.concatenate([dvp[:, C:], zeros], axis=1)
+    def interleave(even, odd):
+        if ne != no:                   # odd nc: pad the odd plane
+            odd = jnp.concatenate([odd, jnp.zeros_like(odd[:, :1])],
+                                  axis=1)
+        full = jnp.stack([even, odd], axis=2)      # [H, ne, 2, C, Dh]
+        return full.reshape(H, ne * 2 * C, Dh)[:, :L]
 
     # residual q is pre-scaled (s = (q*scale) @ k^T), so dk carries the
     # right factor already; d(q_unscaled) = scale * d(q_scaled).
     return (dq.astype(q.dtype) * jnp.asarray(Dh ** -0.5, q.dtype),
-            dk.astype(q.dtype), dv.astype(q.dtype))
+            interleave(dke, dko), interleave(dve, dvo))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
@@ -283,15 +328,32 @@ _band_attention_hl.defvjp(_band_fwd_rule, _bwd)
 
 
 def band_attention(q, k, v, tokens_per_frame: int, window: int,
-                   interpret: bool = False):
+                   head_chunks: int = 1, interpret: bool = False):
     """Frame-causal sliding-window attention via the band kernel.
 
     q/k/v: [B, H, L, Dh] (bf16 on TPU). Requires
     ``band_available(L, tokens_per_frame, window, True)``.
     Returns [B, H, L, Dh] in q's dtype.
+
+    ``head_chunks`` > 1 runs H/head_chunks-head kernel invocations —
+    same math, same total bytes, but the pallas operands' row-major
+    relayout buffers shrink by the chunk factor (the full 24-head
+    [B, L, H, Dh] relayout tile-pads 2x to 384 MB at 65k tokens and
+    OOM'd the training step; the splash path slices heads for the same
+    reason, nn/attn.py splash_head_chunks).
     """
     B, H, L, Dh = q.shape
     assert band_available(L, tokens_per_frame, window, True)
+    if head_chunks > 1 and H % head_chunks == 0 and H > head_chunks:
+        hc = H // head_chunks
+        outs = [
+            band_attention(q[:, c * hc:(c + 1) * hc],
+                           k[:, c * hc:(c + 1) * hc],
+                           v[:, c * hc:(c + 1) * hc],
+                           tokens_per_frame, window, 1, interpret)
+            for c in range(head_chunks)
+        ]
+        return jnp.concatenate(outs, axis=1)
     # batch folds into the head grid axis: every (b, h) row is an
     # independent attention problem and a flat grid pipelines better
     # than a vmap-prepended dimension

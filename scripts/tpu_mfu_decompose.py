@@ -26,12 +26,17 @@ rs = np.random.RandomState(0)
 
 
 def bench(fn, *args, n=3):
+    """Each timing uses perturbed inputs: the axon relay memoizes
+    repeated (executable, args) executions across processes, so
+    same-args timing loops can measure cache hits (observed 45 ms ->
+    0.05 ms on a rerun; this script's round-2 proj row was one)."""
     out = jax.block_until_ready(fn(*args))
     del out
     ts = []
-    for _ in range(n):
+    for j in range(n):
+        a0 = args[0] + jnp.asarray(0.001 * (j + 1), args[0].dtype)
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        jax.block_until_ready(fn(a0, *args[1:]))
         ts.append(time.perf_counter() - t0)
     return float(np.median(ts))
 
