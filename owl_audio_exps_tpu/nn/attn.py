@@ -287,6 +287,24 @@ def cached_attention(cfg, layer_idx: int, local: bool, dtype,
                     mask)
             return out, kv_write
 
+    if kv_cache is None and not decoding and cfg.get("sequence_parallel"):
+        # context parallelism (parallel/context.py): the sequence axis
+        # is sharded over the mesh's seq axis; local layers exchange a
+        # one-chunk halo, global layers run ring attention. Engages on
+        # any backend (the dryrun proves it on the virtual CPU mesh).
+        from ..parallel.mesh import get_mesh, AXIS_SEQ
+        n_seq = get_mesh().shape.get(AXIS_SEQ, 1)
+        if n_seq > 1:
+            assert doc_id is None, \
+                "sequence_parallel + document packing is unsupported"
+            from ..parallel.context import shard_attention
+            window = cfg.get("local_window") if local \
+                else cfg.get("global_window")
+            out = shard_attention(get_mesh(), AXIS_SEQ)(
+                q.astype(dtype), k.astype(dtype), v.astype(dtype),
+                tpf, window)
+            return out, kv_write
+
     if splash and kv_cache is None:
         out = train_attention(cfg, local, q.astype(dtype), k.astype(dtype),
                               v.astype(dtype), doc_id)

@@ -68,18 +68,33 @@ def chunked_local_attention(
     tokens_per_frame: int, window: int,
     doc_id: Optional[jnp.ndarray] = None,
     scale: Optional[float] = None,
+    halo_kv=None,
+    halo_valid=None,
 ) -> jnp.ndarray:
     """Frame-causal sliding-window attention, chunk-banded.
 
     q/k/v: [B, H, L, Dh]; doc_id: per-frame [B, n_frames] int32 or
     None. Requires ``chunked_local_available(L, tpf, window, True)``.
     Returns [B, H, L, Dh] in q's dtype, fp32 softmax.
+
+    ``halo_kv`` — optional (k_halo, v_halo), each [B, H, C, Dh]: the C
+    tokens logically PRECEDING this sequence (the previous shard's tail
+    under context parallelism, parallel/context.py). They seed the scan
+    carry, so chunk 0 attends [halo | chunk 0] exactly as interior
+    chunks attend their predecessor. ``halo_valid`` is a traced bool:
+    False masks the halo off (the first shard of the sequence) — it can
+    depend on ``jax.lax.axis_index`` inside shard_map, which a static
+    mask could not.
     """
     B, H, L, Dh = q.shape
     tpf = tokens_per_frame
     C = window * tpf
     nc = L // C
-    assert chunked_local_available(L, tpf, window, True)
+    # with a halo a single-chunk shard is legitimate (context
+    # parallelism slices the sequence down to >= one window span)
+    assert L % C == 0 and (nc >= 2 or (halo_kv is not None and nc >= 1))
+    assert halo_kv is None or doc_id is None, \
+        "context-parallel halo + document packing is unsupported"
     if scale is None:
         scale = Dh ** -0.5
 
@@ -100,13 +115,18 @@ def chunked_local_attention(
     else:
         dc = jnp.zeros((nc, B, 1), jnp.int32)            # degenerate
 
+    if halo_valid is None:
+        halo_valid = jnp.asarray(halo_kv is not None)
+
     def step(carry, xs):
         k_prev, v_prev, d_prev = carry
         qi, ki, vi, di, idx = xs
         kk = jnp.concatenate([k_prev, ki], axis=2)       # [B, H, 2C, Dh]
         vv = jnp.concatenate([v_prev, vi], axis=2)
-        # chunk 0 has no predecessor: its prev columns are carry zeros
-        mask = base & (col_in_self | (idx > 0))[None, :]
+        # chunk 0's predecessor is the halo when one is supplied (and
+        # valid); otherwise its prev columns are carry zeros, masked off
+        mask = base & (col_in_self
+                       | (idx > 0) | halo_valid)[None, :]
         if doc_id is not None:
             dd = jnp.concatenate([d_prev, di], axis=-1)  # [B, 2C]
             mask = mask[None] & (di[:, :, None] == dd[:, None, :])
@@ -119,8 +139,13 @@ def chunked_local_attention(
                          preferred_element_type=jnp.float32)
         return (ki, vi, di), out.astype(q.dtype)
 
-    init = (jnp.zeros_like(kc[0]), jnp.zeros_like(vc[0]),
-            jnp.zeros_like(dc[0]))
+    if halo_kv is not None:
+        kh, vh = halo_kv
+        init = (kh.astype(k.dtype), vh.astype(v.dtype),
+                jnp.zeros_like(dc[0]))
+    else:
+        init = (jnp.zeros_like(kc[0]), jnp.zeros_like(vc[0]),
+                jnp.zeros_like(dc[0]))
     idxs = jnp.arange(nc, dtype=jnp.int32)
     _, out = jax.lax.scan(jax.checkpoint(step), init,
                           (qc, kc, vc, dc, idxs))

@@ -1,0 +1,167 @@
+"""Context (sequence) parallelism: the multi-chip answer to the
+reference's 98,304-token training config (configs/dit_v4.yml,
+n_frames=1536 x 64 tokens — docs/LONGCTX.md shows the single-chip fit
+is compiler-bound, and a pod is the production path anyway).
+
+The sequence axis shards over the mesh's ``seq`` axis; every attention
+flavor becomes a small amount of ICI traffic plus local compute, run
+inside ``shard_map``:
+
+* **Local window layers** (12 of dit_v4's 16): a query only sees the
+  trailing ``window`` frames, so a shard needs exactly ONE chunk
+  (C = window * tokens_per_frame tokens) of its predecessor's K/V —
+  a single `ppermute` halo exchange, then the chunk-banded attention
+  with the halo seeding the scan carry (ops/local.py halo_kv).
+  Gradients flow back through the ppermute automatically (its
+  transpose is the reverse permute).
+
+* **Global causal layers**: ring attention. Each of n_seq-1 steps
+  rotates the K/V shard around the ring (`ppermute`) while every shard
+  accumulates its queries' partial attention in online-softmax form
+  (out_r, lse_r). Frame-causality across shards is shard-granular:
+  K/V from an earlier shard is fully visible, the shard's own K/V uses
+  the static causal mask, later shards contribute nothing — the
+  per-step validity depends on `axis_index`, which is traced, so it is
+  applied to the per-step lse at the combine (a static kernel mask
+  could not express it). The combine is exact logsumexp merging, so
+  the result is bit-comparable to full-sequence attention up to fp
+  reassociation.
+
+Masks stay static per step; visibility that depends on the shard index
+is expressed through halo_valid / lse masking. Document packing is not
+supported under context parallelism (same restriction as the halo op).
+
+Tested against full-sequence oracles on the 8-device virtual CPU mesh
+in tests/test_context_parallel.py; `dryrun_multichip` compiles and runs
+a seq-axis mesh variant.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..ops.attention import NEG_INF
+from ..ops.local import chunked_local_attention
+from ..ops.masks import dense_mask
+
+
+# ------------------------------------------------------------- local
+
+def sp_local_attention(q, k, v, tokens_per_frame: int, window: int,
+                       axis_name: str):
+    """Halo-exchange local attention for one shard (inside shard_map).
+
+    q/k/v: this shard's [B, H, L_loc, Dh]. L_loc must satisfy the
+    chunked preconditions (C | L_loc, >= 2 chunks).
+    """
+    C = window * tokens_per_frame
+    n = jax.lax.psum(1, axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    perm = [(i, i + 1) for i in range(n - 1)]
+    kh = jax.lax.ppermute(k[:, :, -C:], axis_name, perm)
+    vh = jax.lax.ppermute(v[:, :, -C:], axis_name, perm)
+    return chunked_local_attention(
+        q, k, v, tokens_per_frame, window,
+        halo_kv=(kh, vh), halo_valid=idx > 0)
+
+
+# ------------------------------------------------------------- global
+
+def _partial_attn(q, k, v, tpf: int, causal: bool):
+    """One ring step's partial attention: returns (out, lse) — the
+    NORMALIZED softmax output over this step's keys plus the row
+    logsumexp. Partials merge exactly:
+    out_tot = sum_r out_r * exp(lse_r - lse_tot),
+    lse_tot = logaddexp over r. Masks are static (causal or none)."""
+    B, H, L, Dh = q.shape
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                   preferred_element_type=jnp.float32)
+    if causal:
+        mask = dense_mask(L, tpf, None, None, 0, True)
+        s = jnp.where(mask[None, None], s, NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    l = jnp.sum(e, axis=-1, keepdims=True)
+    out = jnp.einsum("bhqk,bhkd->bhqd", e.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32) / l
+    lse = (m + jnp.log(l))[..., 0]                       # [B, H, L]
+    return out, lse
+
+
+def sp_global_attention(q, k, v, tokens_per_frame: int, axis_name: str,
+                        scale: Optional[float] = None):
+    """Ring attention for frame-causal global layers (inside shard_map).
+
+    q/k/v: this shard's [B, H, L_loc, Dh] slice of the length-n*L_loc
+    sequence (shard i holds tokens [i*L_loc, (i+1)*L_loc)). Returns this
+    shard's [B, H, L_loc, Dh] output equal to full-sequence causal
+    attention restricted to its queries.
+    """
+    B, H, L, Dh = q.shape
+    if scale is None:
+        scale = Dh ** -0.5
+    qs = (q * scale).astype(q.dtype)
+    n = jax.lax.psum(1, axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    ring = [(i, (i + 1) % n) for i in range(n)]
+
+    # step 0: own shard, static frame-causal mask
+    out0, lse0 = _partial_attn(qs, k, v, tokens_per_frame, True)
+
+    def step(carry, r):
+        out, lse, kr, vr = carry
+        # receive the K/V that shard idx-r holds after r rotations
+        kr = jax.lax.ppermute(kr, axis_name, ring)
+        vr = jax.lax.ppermute(vr, axis_name, ring)
+        pout, plse = _partial_attn(qs, kr, vr, tokens_per_frame, False)
+        # K/V originated at shard idx - r (mod n): fully visible iff it
+        # is strictly earlier in the sequence. Traced validity folds
+        # into the partial's lse; exp(-inf - finite) = 0 kills invalid
+        # contributions exactly (lse stays finite: step 0 always is).
+        src = (idx - r) % n
+        plse = jnp.where(src < idx, plse, -jnp.inf)
+        m = jnp.maximum(lse, plse)
+        lse_new = m + jnp.log(jnp.exp(lse - m) + jnp.exp(plse - m))
+        out = (out * jnp.exp(lse - lse_new)[..., None]
+               + pout * jnp.exp(plse - lse_new)[..., None])
+        return (out, lse_new, kr, vr), None
+
+    (out, _, _, _), _ = jax.lax.scan(
+        jax.checkpoint(step), (out0, lse0, k, v),
+        jnp.arange(1, n, dtype=jnp.int32))
+    return out.astype(q.dtype)
+
+
+# --------------------------------------------------------- dispatcher
+
+def sp_attention(q, k, v, tokens_per_frame: int,
+                 window: Optional[int], axis_name: str):
+    """Window -> halo exchange; full causal -> ring."""
+    if window is not None:
+        return sp_local_attention(q, k, v, tokens_per_frame, window,
+                                  axis_name)
+    return sp_global_attention(q, k, v, tokens_per_frame, axis_name)
+
+
+def shard_attention(mesh: Mesh, seq_axis: str):
+    """Wrap sp_attention for use on GLOBAL [B, H, L, Dh] tensors inside
+    a jit'd, GSPMD-sharded program: shard_map over the seq axis converts
+    to per-shard views, runs the collective attention, and returns the
+    L-sharded global result."""
+    spec = P(None, None, seq_axis, None)
+
+    def call(q, k, v, tokens_per_frame, window):
+        fn = shard_map(
+            partial(sp_attention, tokens_per_frame=tokens_per_frame,
+                    window=window, axis_name=seq_axis),
+            mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+            check_rep=False)
+        return fn(q, k, v)
+
+    return call

@@ -2,13 +2,17 @@
 reference's NCCL/DDP runtime (reference: owl_wms/utils/ddp.py; SURVEY.md
 §2.8).
 
-One global mesh with axes ``('data', 'fsdp', 'tensor')``:
+One global mesh with axes ``('data', 'fsdp', 'tensor', 'seq')``:
 
 * ``data``   — pure data parallelism (gradient psum), the reference-parity
   baseline (DDP ≡ batch sharded over data x fsdp, params replicated).
 * ``fsdp``   — parameter/optimizer sharding (ZeRO-ish; generalizes the
   reference Muon round-robin, owl_wms/muon.py:95-115).
 * ``tensor`` — megatron-style tensor parallelism over heads / MLP hidden.
+* ``seq``    — context parallelism: the token axis shards across chips;
+  local-window layers exchange a one-chunk halo, global causal layers
+  run ring attention (parallel/context.py). The multi-chip answer to
+  the reference's 98,304-token dit_v4 config.
 
 Collectives ride ICI within a slice and DCN across slices — XLA inserts
 them from sharding annotations; there is no NCCL-env-var layer to port.
@@ -28,6 +32,7 @@ _MESH: Optional[Mesh] = None
 AXIS_DATA = "data"
 AXIS_FSDP = "fsdp"
 AXIS_TENSOR = "tensor"
+AXIS_SEQ = "seq"
 
 
 @dataclass
@@ -35,16 +40,17 @@ class MeshConfig:
     data: int = -1     # -1: all remaining devices
     fsdp: int = 1
     tensor: int = 1
+    seq: int = 1       # context parallelism (parallel/context.py)
 
 
 def make_mesh(mesh_cfg: MeshConfig = None, devices=None) -> Mesh:
     """Create (and install as default) the global mesh."""
     global _MESH
     mesh_cfg = mesh_cfg or MeshConfig()
+    per = mesh_cfg.fsdp * mesh_cfg.tensor * mesh_cfg.seq
     if devices is None:
         devices = jax.devices()
-        needed = max(mesh_cfg.fsdp * mesh_cfg.tensor,
-                     mesh_cfg.data * mesh_cfg.fsdp * mesh_cfg.tensor)
+        needed = max(per, mesh_cfg.data * per)
         if len(devices) < needed:
             # multi-device request on a single-accelerator host: fall back
             # to the virtual CPU mesh (xla_force_host_platform_device_count)
@@ -55,12 +61,12 @@ def make_mesh(mesh_cfg: MeshConfig = None, devices=None) -> Mesh:
             except RuntimeError:
                 pass
     n = len(devices)
-    fsdp, tensor = mesh_cfg.fsdp, mesh_cfg.tensor
-    data = mesh_cfg.data if mesh_cfg.data > 0 else n // (fsdp * tensor)
-    assert data * fsdp * tensor == n, (
-        f"mesh {data}x{fsdp}x{tensor} != {n} devices")
-    dev_array = np.asarray(devices).reshape(data, fsdp, tensor)
-    _MESH = Mesh(dev_array, (AXIS_DATA, AXIS_FSDP, AXIS_TENSOR))
+    fsdp, tensor, seq = mesh_cfg.fsdp, mesh_cfg.tensor, mesh_cfg.seq
+    data = mesh_cfg.data if mesh_cfg.data > 0 else n // per
+    assert data * per == n, (
+        f"mesh {data}x{fsdp}x{tensor}x{seq} != {n} devices")
+    dev_array = np.asarray(devices).reshape(data, fsdp, tensor, seq)
+    _MESH = Mesh(dev_array, (AXIS_DATA, AXIS_FSDP, AXIS_TENSOR, AXIS_SEQ))
     return _MESH
 
 

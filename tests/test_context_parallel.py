@@ -1,0 +1,134 @@
+"""Context parallelism == full-sequence attention (8-device CPU mesh).
+
+parallel/context.py shards the sequence over a mesh axis: local-window
+layers do a one-chunk halo exchange, global causal layers run ring
+attention with exact logsumexp merging. Both must match the dense
+full-sequence oracle, forward and gradients.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from owl_audio_exps_tpu.ops.attention import dot_attention
+from owl_audio_exps_tpu.ops.masks import dense_mask
+from owl_audio_exps_tpu.parallel.context import shard_attention
+
+B, H, DH = 1, 2, 8
+TPF = 4
+
+
+def _mesh(n):
+    return Mesh(np.asarray(jax.devices()[:n]), ("seq",))
+
+
+def _qkv(rs, L):
+    return tuple(jnp.asarray(rs.randn(B, H, L, DH), jnp.float32)
+                 for _ in range(3))
+
+
+def _oracle(q, k, v, window):
+    L = q.shape[2]
+    return dot_attention(q, k, v, dense_mask(L, TPF, window, None, 0, True))
+
+
+@pytest.mark.parametrize("n_shards,window", [
+    (2, 2), (4, 2), (8, 2),        # local halo
+    (2, None), (4, None), (8, None),  # global ring
+])
+def test_matches_full_sequence(n_shards, window):
+    rs = np.random.RandomState(n_shards)
+    # per-shard length: 2 chunks of C = window*tpf (local needs >= 2)
+    per = 2 * (window or 2) * TPF
+    L = n_shards * per
+    q, k, v = _qkv(rs, L)
+    mesh = _mesh(n_shards)
+
+    want = _oracle(q, k, v, window)
+    fn = jax.jit(lambda q, k, v: shard_attention(mesh, "seq")(
+        q, k, v, TPF, window))
+    got = fn(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=3e-5, rtol=3e-5)
+
+
+@pytest.mark.parametrize("window", [2, None])
+def test_gradients_match_full_sequence(window):
+    n_shards = 4
+    rs = np.random.RandomState(7)
+    per = 2 * (window or 2) * TPF
+    L = n_shards * per
+    q, k, v = _qkv(rs, L)
+    gw = jnp.asarray(rs.randn(B, H, L, DH), jnp.float32)
+    mesh = _mesh(n_shards)
+
+    def loss_sp(q, k, v):
+        return jnp.vdot(shard_attention(mesh, "seq")(
+            q, k, v, TPF, window), gw)
+
+    def loss_full(q, k, v):
+        return jnp.vdot(_oracle(q, k, v, window), gw)
+
+    g = jax.jit(jax.grad(loss_sp, argnums=(0, 1, 2)))(q, k, v)
+    gd = jax.grad(loss_full, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip("qkv", g, gd):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=3e-4, rtol=3e-4,
+            err_msg=f"d{name} mismatch (window={window})")
+
+
+def test_sharded_inputs_stay_sharded():
+    """shard_attention consumes and produces seq-sharded arrays without
+    gathering the sequence axis (the whole point)."""
+    n_shards = 8
+    rs = np.random.RandomState(3)
+    per = 2 * 2 * TPF
+    L = n_shards * per
+    q, k, v = _qkv(rs, L)
+    mesh = _mesh(n_shards)
+    sh = NamedSharding(mesh, P(None, None, "seq", None))
+    q, k, v = (jax.device_put(a, sh) for a in (q, k, v))
+    out = jax.jit(lambda q, k, v: shard_attention(mesh, "seq")(
+        q, k, v, TPF, 2))(q, k, v)
+    assert out.sharding.is_equivalent_to(sh, out.ndim)
+
+
+def test_model_forward_matches_non_sp():
+    """GameRFT forward with sequence_parallel over a seq-axis mesh ==
+    the plain dense forward on identical params."""
+    from owl_audio_exps_tpu.configs import transformer_config
+    from owl_audio_exps_tpu.models.gamerft import GameRFT
+    from owl_audio_exps_tpu.parallel.mesh import make_mesh, MeshConfig
+
+    base = dict(
+        model_id="game_rft", sample_size=2, channels=4, n_layers=2,
+        n_heads=2, d_model=32, tokens_per_frame=4, n_buttons=3,
+        cfg_prob=0.0, n_frames=16, causal=True, uncond=False,
+        backbone="dit", has_audio=False, rope_impl="ortho",
+        local_window=2, global_window=None)
+    rs = np.random.RandomState(11)
+    x = jnp.asarray(rs.randn(2, 16, 4, 2, 2), jnp.float32)
+    mouse = jnp.asarray(rs.randn(2, 16, 2), jnp.float32)
+    btn = jnp.asarray(rs.rand(2, 16, 3) > 0.5, jnp.float32)
+
+    ref_model = GameRFT(transformer_config(**base), dtype=jnp.float32)
+    rngs = {"params": jax.random.key(0), "noise": jax.random.key(1)}
+    params = ref_model.init(rngs, x, mouse, btn)["params"]
+
+    def run(model):
+        return model.apply({"params": params}, x, mouse, btn,
+                           rngs={"noise": jax.random.key(2)})
+
+    want = run(ref_model)
+    try:
+        make_mesh(MeshConfig(seq=4))     # data absorbs the rest
+        sp_model = GameRFT(
+            transformer_config(**base, sequence_parallel=True),
+            dtype=jnp.float32)
+        got = run(sp_model)
+    finally:
+        make_mesh(MeshConfig())          # restore the default mesh
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=3e-5, rtol=3e-5)
