@@ -82,3 +82,15 @@ def test_availability_gate():
     assert not band_available(130, 65, 1, True)       # C % 128 != 0
     assert band_available(512, 64, 2, True)
     assert band_available(98304, 64, 16, True)        # the dit_v4 config
+
+
+def test_head_chunks_equivalent():
+    rs = np.random.RandomState(5)
+    tpf, window, L, H = 64, 2, 512, 4
+    q, k, v = (jnp.asarray(rs.randn(1, H, L, 64), jnp.float32)
+               for _ in range(3))
+    a = band_attention(q, k, v, tpf, window, interpret=True)
+    b = band_attention(q, k, v, tpf, window, head_chunks=2,
+                       interpret=True)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                               atol=2e-6, rtol=2e-6)

@@ -35,8 +35,8 @@ def _oracle(q, k, v, window):
 
 
 @pytest.mark.parametrize("n_shards,window", [
-    (2, 2), (4, 2), (8, 2),        # local halo
-    (2, None), (4, None), (8, None),  # global ring
+    (2, 2), (3, 2), (4, 2), (8, 2),        # local halo
+    (2, None), (3, None), (4, None), (8, None),  # global ring
 ])
 def test_matches_full_sequence(n_shards, window):
     rs = np.random.RandomState(n_shards)
