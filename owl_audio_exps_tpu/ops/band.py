@@ -38,22 +38,25 @@ from jax.experimental.pallas import tpu as pltpu
 
 def band_available(n_tokens: int, tokens_per_frame: int,
                    window: Optional[int], causal: bool) -> bool:
-    """Kernel preconditions: causal frame window whose span C divides the
-    sequence, C a multiple of the (8, 128) f32 tile, >= 2 chunks."""
+    """Kernel preconditions: causal frame window whose span C divides
+    the sequence, C a multiple of the 8-sublane f32 tile (this admits
+    the AV-interleaved tokens_per_frame=65 layouts, e.g. C = 8*65 =
+    520, which the splash path can only serve via pad-to-block),
+    >= 2 chunks."""
     if window is None or not causal:
         return False
     C = window * tokens_per_frame
     return (n_tokens % C == 0 and n_tokens >= 2 * C
-            and C % 128 == 0 and C >= 128)
+            and C % 8 == 0 and C >= 128)
 
 
 def _sub_rows(C: int) -> int:
-    """Query-row sub-block: the largest divisor of C (multiple of 128,
-    so lse sub-slices stay lane-aligned) keeping each [rows, C] f32
-    logits tile around 1 MB — the kernels' VMEM stack stays well under
-    the ~16 MB scope at any C."""
+    """Query-row sub-block: the largest divisor of C (multiple of 8,
+    the f32 sublane tile) keeping each [rows, C] f32 logits tile around
+    1 MB — the kernels' VMEM stack stays well under the ~16 MB scope at
+    any C."""
     target = max(128, (1 << 20) // (4 * C))
-    for s in range(min(C, target) // 128 * 128, 127, -128):
+    for s in range(min(C, target) // 8 * 8, 7, -8):
         if C % s == 0:
             return s
     return C

@@ -16,7 +16,12 @@ from owl_audio_exps_tpu.ops.local import chunked_local_attention
 from owl_audio_exps_tpu.ops.band import band_attention
 
 L = int(sys.argv[1]) if len(sys.argv) > 1 else 65536
-H, DH, TPF, WIN = 24, 64, 64, 16
+H, DH = 24, 64
+TPF = int(sys.argv[3]) if len(sys.argv) > 3 else 64
+WIN = int(sys.argv[4]) if len(sys.argv) > 4 else 16
+if L % (TPF * WIN):
+    L = (L // (TPF * WIN)) * TPF * WIN
+    print("adjusted L to", L)
 rs = np.random.RandomState(0)
 q = jnp.asarray(rs.randn(1, H, L, DH), jnp.bfloat16)
 k = jnp.asarray(rs.randn(1, H, L, DH), jnp.bfloat16)

@@ -26,6 +26,7 @@ def _qkv(rs, B, H, L, Dh):
     (64, 2, 5),
     (32, 8, 3),     # C=256
     (128, 1, 4),    # window == 1 frame
+    (65, 8, 2),     # AV-interleaved tpf: C=520, non-lane-aligned
 ])
 def test_forward_matches_dense(tpf, window, n_chunks):
     rs = np.random.RandomState(0)
@@ -79,9 +80,10 @@ def test_availability_gate():
     assert not band_available(512, 64, 2, False)      # bidirectional
     assert not band_available(600, 64, 2, True)       # C does not divide L
     assert not band_available(128, 64, 2, True)       # single chunk
-    assert not band_available(130, 65, 1, True)       # C % 128 != 0
+    assert not band_available(260, 65, 1, True)       # C % 8 != 0 (65)
     assert band_available(512, 64, 2, True)
     assert band_available(98304, 64, 16, True)        # the dit_v4 config
+    assert band_available(1040, 65, 8, True)          # AV tpf=65 layout
 
 
 def test_head_chunks_equivalent():
