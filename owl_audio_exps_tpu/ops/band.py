@@ -18,7 +18,8 @@ query rows are processed in sub-blocks to bound the f32 logits tiles in
 VMEM. The backward is ONE fused kernel: each grid step recomputes its
 chunk's softmax locally (the whole band is in VMEM, so nothing is
 saved but q/k/v — no lse/delta residuals) and emits dq plus dk/dv
-partial planes split by target chunk, combined by a shift-add in XLA.
+planes split by target-chunk parity, accumulated in-VMEM across the
+two consecutive writer steps of each block (see _bwd_kernel).
 
 Numerics: f32 logits/softmax, bf16 matmul operands, f32 PV accumulation
 — the same contract as ops/attention.dot_attention, which is the oracle
@@ -30,7 +31,6 @@ from __future__ import annotations
 import functools
 from typing import Optional
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

@@ -15,18 +15,25 @@ B = int(sys.argv[2]) if len(sys.argv) > 2 else 1
 OPT = sys.argv[3] if len(sys.argv) > 3 else "adamw"  # adamw | muon
 
 # OWL_GEOM=5b -> the reference's dit_v4_5B geometry (36L x 20H x 2560d,
-# /root/reference/configs/dit_v4_5B.yml:6-8); default dit_v4 (16L x 1536d)
+# /root/reference/configs/dit_v4_5B.yml:6-8); OWL_GEOM=av -> the AV
+# flagship (av_v4_8x8: tokens_per_frame=65, joint audio token); default
+# dit_v4 (16L x 1536d)
 GEOM = os.environ.get("OWL_GEOM", "v4")
-n_layers, n_heads, d_model = (36, 20, 2560) if GEOM == "5b" else (16, 24, 1536)
+n_layers, n_heads, d_model = (36, 20, 2560) if GEOM == "5b" else (
+    (24, 24, 1536) if GEOM == "av" else (16, 24, 1536))
 # bf16 master params: halves param+update memory; needed to fit the 2.8B
 # 5B geometry's optimizer state on one 16 GB chip
 PARAMS_BF16 = os.environ.get("OWL_PARAMS_BF16") == "1"
 
+AV = GEOM == "av"
 cfg = transformer_config(
-    model_id="game_rft", sample_size=8, channels=128, n_layers=n_layers,
-    n_heads=n_heads, d_model=d_model, tokens_per_frame=64, n_buttons=11,
+    model_id="game_rft_audio" if AV else "game_rft",
+    sample_size=8, channels=128, n_layers=n_layers,
+    n_heads=n_heads, d_model=d_model,
+    tokens_per_frame=65 if AV else 64, n_buttons=11, n_mouse_axes=2,
+    audio_channels=64,
     cfg_prob=0.1, n_frames=max(N_FRAMES, 256), causal=True, uncond=False,
-    backbone="dit", has_audio=False, rope_impl="motion",
+    backbone="dit", has_audio=AV, rope_impl="ortho" if AV else "motion",
     local_window=16, global_window=None, gradient_checkpointing=True,
     # group-granular remat: 4x fewer saved residuals — required to fit
     # the 1536-frame (98,304-token) reference config on one v5e chip
@@ -36,11 +43,17 @@ cfg = transformer_config(
     remat_sequenced=os.environ.get("OWL_REMAT_SEQ") == "1",
     local_attn_impl=os.environ.get("OWL_LOCAL_ATTN", "auto"),
     scan_layers=os.environ.get("OWL_SCAN_LAYERS") == "1")
-model = GameRFT(cfg, dtype=jnp.bfloat16)
+if AV:
+    from owl_audio_exps_tpu.models.gamerft_audio import GameRFTAudio
+    model = GameRFTAudio(cfg, dtype=jnp.bfloat16)
+else:
+    model = GameRFT(cfg, dtype=jnp.bfloat16)
 rs = np.random.RandomState(0)
 x = jnp.asarray(rs.randn(B, N_FRAMES, 128, 8, 8), jnp.bfloat16)
+audio = jnp.asarray(rs.randn(B, N_FRAMES, 64), jnp.bfloat16)
 mouse = jnp.asarray(rs.randn(B, N_FRAMES, 2), jnp.bfloat16)
 btn = jnp.asarray(rs.rand(B, N_FRAMES, 11) > 0.5, jnp.bfloat16)
+model_args = (x, audio, mouse, btn) if AV else (x, mouse, btn)
 if PARAMS_BF16:
     # fit probe: flax init materializes the whole f32 tree before any
     # cast can fuse (measured 23.4 GB program for the 2.8B 5B geometry).
@@ -49,7 +62,7 @@ if PARAMS_BF16:
     # distribution is irrelevant for a throughput/fit probe.
     tree = jax.eval_shape(
         lambda k: model.init({"params": k, "noise": jax.random.key(1)},
-                             x, mouse, btn)["params"],
+                             *model_args)["params"],
         jax.random.key(0))
     leaves, treedef = jax.tree.flatten(tree)
     fill = jax.jit(lambda k, i: 0.02 * jax.random.normal(
@@ -60,7 +73,7 @@ if PARAMS_BF16:
         treedef, [fill(key, i) for i in range(len(leaves))])
 else:
     params = jax.jit(lambda k: model.init(
-        {"params": k, "noise": jax.random.key(1)}, x, mouse, btn)["params"]
+        {"params": k, "noise": jax.random.key(1)}, *model_args)["params"]
     )(jax.random.key(0))
 if OPT.lower() == "muon":
     # the optimizer the reference actually trains with
@@ -91,8 +104,11 @@ else:
 opt = tx.init(params) if OPT.lower() != "fusedsgd" else ()
 
 def loss_fn(p, rng):
-    return model.apply({"params": p}, x, mouse, btn,
-                       rngs={"noise": rng})
+    out = model.apply({"params": p}, *model_args, rngs={"noise": rng})
+    # the AV wrapper returns (video_loss, audio_loss)-style pytrees;
+    # reduce whatever comes back to one scalar
+    return jax.tree.reduce(lambda a, b: a + b,
+                           jax.tree.map(jnp.mean, out))
 
 GRADS_BF16 = os.environ.get("OWL_GRADS_BF16") == "1"
 
@@ -123,8 +139,9 @@ for i in range(3):
     jax.block_until_ready(loss)
     times.append(time.perf_counter()-t0)
 wall = float(np.median(times))
-tokens = B * N_FRAMES * 64
-prof = MFUProfiler(cfg, batch_tokens=tokens, seq_len=N_FRAMES*64, training=True)
+tokens = B * N_FRAMES * cfg.tokens_per_frame
+prof = MFUProfiler(cfg, batch_tokens=tokens,
+                   seq_len=N_FRAMES * cfg.tokens_per_frame, training=True)
 tflops = prof.flops_per_step / wall / 1e12
 print("frames=%d batch=%d: %.3f s/step, %.0f tokens/s, %.1f TFLOP/s, MFU=%.1f%%"
       % (N_FRAMES, B, wall, tokens/wall, tflops, 100*tflops/197.0))
