@@ -29,6 +29,7 @@ in tests/test_band_attention.py.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -87,12 +88,13 @@ def _mask_tile(r0: int, rows: int, C: int, tpf: int, window: int,
 # --------------------------------------------------------------- forward
 
 def _fwd_kernel(q_ref, kp_ref, ks_ref, vp_ref, vs_ref, o_ref,
-                *, tpf, window, sub):
+                *, tpf, window, sub, hg):
     i = pl.program_id(1)
     C = q_ref.shape[1]
-    kp, ks = kp_ref[0], ks_ref[0]
-    for r0 in range(0, C, sub):
-        q = q_ref[0, r0:r0 + sub]                  # [sub, Dh] bf16
+    for h in range(hg):
+      kp, ks = kp_ref[h], ks_ref[h]
+      for r0 in range(0, C, sub):
+        q = q_ref[h, r0:r0 + sub]                  # [sub, Dh] bf16
         sp = jax.lax.dot_general(
             q, kp, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)    # [sub, C]
@@ -122,28 +124,51 @@ def _fwd_kernel(q_ref, kp_ref, ks_ref, vp_ref, vs_ref, o_ref,
         # 1/denom applies to the [sub, Dh] output, not the [sub, C]
         # probabilities — one narrow pass instead of two wide ones
         out = jax.lax.dot_general(
-            ep.astype(vp_ref.dtype), vp_ref[0],
+            ep.astype(vp_ref.dtype), vp_ref[h],
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
         out += jax.lax.dot_general(
-            es.astype(vs_ref.dtype), vs_ref[0],
+            es.astype(vs_ref.dtype), vs_ref[h],
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-        o_ref[0, r0:r0 + sub] = (out / denom).astype(o_ref.dtype)
+        o_ref[h, r0:r0 + sub] = (out / denom).astype(o_ref.dtype)
+
+
+def _head_group(H: int, C: int, Dh: int, n_bufs: int) -> int:
+    """Heads per grid step: each (head, chunk) row pays a fixed
+    pipeline-refill cost (~12 us measured on the splash grid and
+    reproduced by the naive one-head-per-step version of this kernel),
+    so fatter steps amortize it. Bounded so n_bufs double-buffered
+    [C, Dh] operand blocks plus the logits tiles stay inside VMEM."""
+    env = os.environ.get("OWL_BAND_HG")
+    if env and H % int(env) == 0:
+        return int(env)
+    # empirically (hg sweep at C=1024): Mosaic's stack for the unrolled
+    # per-head bodies exceeds the naive estimate ~2x — a 4 MB nominal
+    # budget keeps the real allocation under the 16 MB scope, which
+    # means hg > 1 only engages for small chunks (e.g. the AV C=520)
+    budget = 4 * (1 << 20)
+    for hg in (8, 4, 2, 1):
+        if H % hg:
+            continue
+        if hg * n_bufs * C * Dh * 2 * 2 + 6 * _sub_rows(C) * C * 4 < budget:
+            return hg
+    return 1
 
 
 def _fwd(q, k, v, tokens_per_frame, window, interpret=False):
     H, L, Dh = q.shape
     C = window * tokens_per_frame
     nc = L // C
+    hg = _head_group(H, C, Dh, 6)
 
-    cur = pl.BlockSpec((1, C, Dh), lambda h, i: (h, i, 0))
-    prev = pl.BlockSpec((1, C, Dh), lambda h, i: (h, jnp.maximum(i - 1, 0), 0))
+    cur = pl.BlockSpec((hg, C, Dh), lambda g, i: (g, i, 0))
+    prev = pl.BlockSpec((hg, C, Dh), lambda g, i: (g, jnp.maximum(i - 1, 0), 0))
 
     return pl.pallas_call(
         functools.partial(_fwd_kernel, tpf=tokens_per_frame,
-                          window=window, sub=_sub_rows(C)),
-        grid=(H, nc),
+                          window=window, sub=_sub_rows(C), hg=hg),
+        grid=(H // hg, nc),
         in_specs=[cur, prev, cur, prev, cur],
-        out_specs=pl.BlockSpec((1, C, Dh), lambda h, i: (h, i, 0)),
+        out_specs=pl.BlockSpec((hg, C, Dh), lambda g, i: (g, i, 0)),
         out_shape=jax.ShapeDtypeStruct((H, L, Dh), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
@@ -155,7 +180,7 @@ def _fwd(q, k, v, tokens_per_frame, window, interpret=False):
 
 def _bwd_kernel(q_ref, kp_ref, ks_ref, vp_ref, vs_ref, do_ref,
                 dq_ref, dke_ref, dko_ref, dve_ref, dvo_ref,
-                *, tpf, window, sub):
+                *, tpf, window, sub, hg):
     """Fused backward: one grid step recomputes chunk i's row softmax
     (it sees the whole band, so no saved lse/delta is needed — delta
     falls out as sum_j p_j dp_j) and emits dq for chunk i plus chunk
@@ -176,15 +201,16 @@ def _bwd_kernel(q_ref, kp_ref, ks_ref, vp_ref, vs_ref, do_ref,
     """
     i = pl.program_id(1)
     C, Dh = q_ref.shape[1], q_ref.shape[2]
-    kp, ks = kp_ref[0], ks_ref[0]
-    vp, vs = vp_ref[0], vs_ref[0]
-    dks = jnp.zeros((C, Dh), jnp.float32)
-    dkp = jnp.zeros((C, Dh), jnp.float32)
-    dvs = jnp.zeros((C, Dh), jnp.float32)
-    dvp = jnp.zeros((C, Dh), jnp.float32)
-    for r0 in range(0, C, sub):
-        q = q_ref[0, r0:r0 + sub]
-        do = do_ref[0, r0:r0 + sub].astype(jnp.float32)
+    for h in range(hg):
+      kp, ks = kp_ref[h], ks_ref[h]
+      vp, vs = vp_ref[h], vs_ref[h]
+      dks = jnp.zeros((C, Dh), jnp.float32)
+      dkp = jnp.zeros((C, Dh), jnp.float32)
+      dvs = jnp.zeros((C, Dh), jnp.float32)
+      dvp = jnp.zeros((C, Dh), jnp.float32)
+      for r0 in range(0, C, sub):
+        q = q_ref[h, r0:r0 + sub]
+        do = do_ref[h, r0:r0 + sub].astype(jnp.float32)
         sp = jax.lax.dot_general(
             q, kp, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)    # [sub, C]
@@ -220,7 +246,7 @@ def _bwd_kernel(q_ref, kp_ref, ks_ref, vp_ref, vs_ref, do_ref,
         dq += jax.lax.dot_general(
             dss_b, ks, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        dq_ref[0, r0:r0 + sub] = dq.astype(dq_ref.dtype)
+        dq_ref[h, r0:r0 + sub] = dq.astype(dq_ref.dtype)
         # contract over the q-row dim directly (dim 0 x dim 0) — an
         # explicit .T would materialize a transposed VMEM copy.
         # dV = p^T @ dO: fold inv into dO per-row (narrow pass).
@@ -239,36 +265,37 @@ def _bwd_kernel(q_ref, kp_ref, ks_ref, vp_ref, vs_ref, do_ref,
         dks = dks + jax.lax.dot_general(
             dss_b, q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-    even = i % 2 == 0
+      even = i % 2 == 0
 
-    # even steps: even plane gets this chunk's self grads (first visit
-    # of its block -> assign); odd plane's resident block (chunk i-1)
-    # accumulates the prev-half grads. Odd steps: roles swap. Step 0's
-    # odd-plane visit is a clamped placeholder: dkp/dvp are zeros there
-    # (the prev mask carries i > 0), so the assign initializes block 0
-    # of the odd plane to zero ahead of step 1's self assign... which
-    # would overwrite it — hence step 1 (and every odd step) assigns.
-    @pl.when(even)
-    def _():
-        dke_ref[0, 0] = dks.astype(dke_ref.dtype)
-        dve_ref[0, 0] = dvs.astype(dve_ref.dtype)
+      # even steps: even plane gets this chunk's self grads (first
+      # visit of its block -> assign); odd plane's resident block
+      # (chunk i-1) accumulates the prev-half grads. Odd steps: roles
+      # swap. Step 0's odd-plane visit is a clamped placeholder:
+      # dkp/dvp are zeros there (the prev mask carries i > 0), so the
+      # assign initializes block 0 of the odd plane to zero ahead of
+      # step 1's self assign... which would overwrite it — hence step 1
+      # (and every odd step) assigns.
+      @pl.when(even)
+      def _():
+          dke_ref[h, 0] = dks.astype(dke_ref.dtype)
+          dve_ref[h, 0] = dvs.astype(dve_ref.dtype)
 
-    @pl.when(even & (i > 0))
-    def _():
-        dko_ref[0, 0] += dkp.astype(dko_ref.dtype)
-        dvo_ref[0, 0] += dvp.astype(dvo_ref.dtype)
+      @pl.when(even & (i > 0))
+      def _():
+          dko_ref[h, 0] += dkp.astype(dko_ref.dtype)
+          dvo_ref[h, 0] += dvp.astype(dvo_ref.dtype)
 
-    @pl.when(jnp.logical_not(even))
-    def _():
-        dko_ref[0, 0] = dks.astype(dko_ref.dtype)
-        dvo_ref[0, 0] = dvs.astype(dvo_ref.dtype)
-        dke_ref[0, 0] += dkp.astype(dke_ref.dtype)
-        dve_ref[0, 0] += dvp.astype(dve_ref.dtype)
+      @pl.when(jnp.logical_not(even))
+      def _():
+          dko_ref[h, 0] = dks.astype(dko_ref.dtype)
+          dvo_ref[h, 0] = dvs.astype(dvo_ref.dtype)
+          dke_ref[h, 0] += dkp.astype(dke_ref.dtype)
+          dve_ref[h, 0] += dvp.astype(dve_ref.dtype)
 
-    @pl.when(i == 0)
-    def _():
-        dko_ref[0, 0] = dkp.astype(dko_ref.dtype)  # zeros: masked i>0
-        dvo_ref[0, 0] = dvp.astype(dvo_ref.dtype)
+      @pl.when(i == 0)
+      def _():
+          dko_ref[h, 0] = dkp.astype(dko_ref.dtype)  # zeros: masked
+          dvo_ref[h, 0] = dvp.astype(dvo_ref.dtype)
 
 
 def _bwd(tokens_per_frame, window, interpret, res, g):
@@ -278,18 +305,19 @@ def _bwd(tokens_per_frame, window, interpret, res, g):
     nc = L // C
     g = g.astype(q.dtype)
 
-    cur = pl.BlockSpec((1, C, Dh), lambda h, i: (h, i, 0))
-    prev = pl.BlockSpec((1, C, Dh), lambda h, i: (h, jnp.maximum(i - 1, 0), 0))
+    hg = _head_group(H, C, Dh, 11)
+    cur = pl.BlockSpec((hg, C, Dh), lambda g, i: (g, i, 0))
+    prev = pl.BlockSpec((hg, C, Dh), lambda g, i: (g, jnp.maximum(i - 1, 0), 0))
     ne = (nc + 1) // 2                 # even-parity target chunks
     no = nc // 2                       # odd-parity target chunks
-    ev = pl.BlockSpec((1, 1, C, Dh), lambda h, i: (h, i // 2, 0, 0))
-    od = pl.BlockSpec((1, 1, C, Dh),
-                      lambda h, i: (h, jnp.maximum((i - 1) // 2, 0), 0, 0))
+    ev = pl.BlockSpec((hg, 1, C, Dh), lambda g, i: (g, i // 2, 0, 0))
+    od = pl.BlockSpec((hg, 1, C, Dh),
+                      lambda g, i: (g, jnp.maximum((i - 1) // 2, 0), 0, 0))
 
     dq, dke, dko, dve, dvo = pl.pallas_call(
         functools.partial(_bwd_kernel, tpf=tokens_per_frame,
-                          window=window, sub=_sub_rows(C)),
-        grid=(H, nc),
+                          window=window, sub=_sub_rows(C), hg=hg),
+        grid=(H // hg, nc),
         in_specs=[cur, prev, cur, prev, cur, cur],
         out_specs=[cur, ev, od, ev, od],
         out_shape=[jax.ShapeDtypeStruct((H, L, Dh), q.dtype),

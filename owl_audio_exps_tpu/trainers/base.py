@@ -318,14 +318,23 @@ class BaseTrainer:
         batches replicate). Shared by the RFT-family and distillation
         loops so every trainer feeds the mesh the same way."""
         from jax.sharding import NamedSharding, PartitionSpec as P
-        from ..parallel.mesh import AXIS_DATA, AXIS_FSDP
+        from ..parallel.mesh import AXIS_DATA, AXIS_FSDP, AXIS_SEQ
         dp_total = self.mesh.shape[AXIS_DATA] * self.mesh.shape[AXIS_FSDP]
+        n_seq = self.mesh.shape.get(AXIS_SEQ, 1)
         sharded = NamedSharding(self.mesh, P(None, (AXIS_DATA, AXIS_FSDP)))
+        # context parallelism: the frame axis (dim 2 of the
+        # [accum, batch, frames, ...] stack) additionally shards over
+        # the seq axis, so per-chip input slices match the activations
+        sharded_seq = NamedSharding(
+            self.mesh, P(None, (AXIS_DATA, AXIS_FSDP), AXIS_SEQ))
         repl = NamedSharding(self.mesh, P())
 
         def put_leaf(leaf):
             arr = jnp.asarray(leaf)
             ok = arr.ndim >= 2 and arr.shape[1] % dp_total == 0
+            if (ok and n_seq > 1 and arr.ndim >= 3
+                    and arr.shape[2] % n_seq == 0):
+                return jax.device_put(arr, sharded_seq)
             return jax.device_put(arr, sharded if ok else repl)
 
         return lambda batch: jax.tree.map(put_leaf, batch)
