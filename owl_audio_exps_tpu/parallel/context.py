@@ -78,7 +78,14 @@ def _partial_attn(q, k, v, tpf: int, causal: bool):
     NORMALIZED softmax output over this step's keys plus the row
     logsumexp. Partials merge exactly:
     out_tot = sum_r out_r * exp(lse_r - lse_tot),
-    lse_tot = logaddexp over r. Masks are static (causal or none)."""
+    lse_tot = logaddexp over r. Masks are static (causal or none).
+
+    XLA-dense: the [L_loc, L_loc] logits materialize, which is right
+    for the virtual-mesh tests and fine up to ~8-12k tokens/shard in
+    f32-per-head terms; a pod-scale swap-in is the splash kernel with
+    save_residuals=True (same (out, lse) contract) once real multi-chip
+    hardware is attached — the merge algebra above is unchanged.
+    """
     B, H, L, Dh = q.shape
     s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                    preferred_element_type=jnp.float32)
