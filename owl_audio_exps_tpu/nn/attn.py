@@ -297,6 +297,9 @@ def cached_attention(cfg, layer_idx: int, local: bool, dtype,
         if n_seq > 1:
             assert doc_id is None, \
                 "sequence_parallel + document packing is unsupported"
+            assert bool(cfg.causal), \
+                "sequence_parallel requires a causal model (halo/ring " \
+                "attention hard-code frame-causal visibility)"
             from ..parallel.context import shard_attention
             window = cfg.get("local_window") if local \
                 else cfg.get("global_window")
@@ -410,6 +413,11 @@ class Attn(nn.Module):
         hc_n = cfg.get("splash_head_chunks", 1)
         if (splash and kv_cache is None and hc_n > 1
                 and cfg.get("fused_head_chunks", False)
+                # the fused slicing would bypass cached_attention's
+                # sequence-parallel shard_map branch and run kernels on
+                # seq-sharded globals (GSPMD would all-gather the full
+                # sequence per layer) — SP takes precedence
+                and not cfg.get("sequence_parallel")
                 and H % hc_n == 0 and H > hc_n):
             # Fused head-chunked training path (opt-in,
             # fused_head_chunks: true): transpose + QK-norm + RoPE +

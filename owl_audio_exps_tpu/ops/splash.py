@@ -78,9 +78,13 @@ class FrameMask(splash_mask._ComputableMask):
         """
         q_slice, kv_slice = idx
         if (isinstance(q_slice, slice) and isinstance(kv_slice, slice)
+                and q_slice.step in (None, 1)
+                and kv_slice.step in (None, 1)
                 and q_slice.start is not None and q_slice.stop is not None
                 and kv_slice.start is not None
-                and kv_slice.stop is not None):
+                and kv_slice.stop is not None
+                and q_slice.stop <= self.shape[0]
+                and kv_slice.stop <= self.shape[1]):
             nq = q_slice.stop - q_slice.start
             nk = kv_slice.stop - kv_slice.start
             fq_lo = q_slice.start // self.tokens_per_frame

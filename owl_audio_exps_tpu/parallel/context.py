@@ -80,24 +80,51 @@ def _partial_attn(q, k, v, tpf: int, causal: bool):
     out_tot = sum_r out_r * exp(lse_r - lse_tot),
     lse_tot = logaddexp over r. Masks are static (causal or none).
 
-    XLA-dense: the [L_loc, L_loc] logits materialize, which is right
-    for the virtual-mesh tests and fine up to ~8-12k tokens/shard in
-    f32-per-head terms; a pod-scale swap-in is the splash kernel with
-    save_residuals=True (same (out, lse) contract) once real multi-chip
-    hardware is attached — the merge algebra above is unchanged.
+    Logits never materialize at full [H, L_loc, L_loc]: query rows are
+    processed in blocks (lax.map) so the live f32 tile is
+    [H, block, L_loc] — at the 98k config's 12,288 tokens/shard that is
+    ~600 MB instead of the 14.5 GB a whole-shard einsum would need.
+    (A pod-scale upgrade is the splash kernel with save_residuals=True —
+    same (out, lse) contract, unchanged merge algebra.)
     """
     B, H, L, Dh = q.shape
-    s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                   preferred_element_type=jnp.float32)
-    if causal:
-        mask = dense_mask(L, tpf, None, None, 0, True)
-        s = jnp.where(mask[None, None], s, NEG_INF)
-    m = jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s - m)
-    l = jnp.sum(e, axis=-1, keepdims=True)
-    out = jnp.einsum("bhqk,bhkd->bhqd", e.astype(v.dtype), v,
-                     preferred_element_type=jnp.float32) / l
-    lse = (m + jnp.log(l))[..., 0]                       # [B, H, L]
+    assert L % tpf == 0, (
+        "sequence-parallel shards must be frame-aligned "
+        f"(L_loc={L}, tokens_per_frame={tpf})")
+
+    full_mask = dense_mask(L, tpf, None, None, 0, True) if causal else None
+
+    def block(args):
+        qb, maskb = args
+        s = jnp.einsum("bhqd,bhkd->bhqk", qb, k,
+                       preferred_element_type=jnp.float32)
+        if maskb is not None:
+            s = jnp.where(maskb[None, None], s, NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        l = jnp.sum(e, axis=-1, keepdims=True)
+        out = jnp.einsum("bhqk,bhkd->bhqd", e.astype(v.dtype), v,
+                         preferred_element_type=jnp.float32) / l
+        return out, (m + jnp.log(l))[..., 0]
+
+    # pick a row block bounding the [B, H, qb, L] f32 logits tile
+    qb = L
+    target = max(256, (256 << 20) // max(1, B * H * L * 4))
+    for cand in range(min(L, target) // tpf * tpf, tpf - 1, -tpf):
+        if L % cand == 0:
+            qb = cand
+            break
+    if qb >= L:
+        return block((q, full_mask))
+    nb = L // qb
+    qs = q.reshape(B, H, nb, qb, Dh).transpose(2, 0, 1, 3, 4)
+    if full_mask is not None:
+        masks = full_mask.reshape(nb, qb, L)
+        outs, lses = jax.lax.map(block, (qs, masks))
+    else:
+        outs, lses = jax.lax.map(lambda qb_: block((qb_, None)), qs)
+    out = outs.transpose(1, 2, 0, 3, 4).reshape(B, H, L, Dh)
+    lse = lses.transpose(1, 2, 0, 3).reshape(B, H, L)
     return out, lse
 
 
@@ -160,10 +187,29 @@ def shard_attention(mesh: Mesh, seq_axis: str):
     """Wrap sp_attention for use on GLOBAL [B, H, L, Dh] tensors inside
     a jit'd, GSPMD-sharded program: shard_map over the seq axis converts
     to per-shard views, runs the collective attention, and returns the
-    L-sharded global result."""
-    spec = P(None, None, seq_axis, None)
+    L-sharded global result.
+
+    The batch and head dims keep their data/fsdp/tensor shardings in
+    the specs — attention is independent per (batch row, head), so the
+    shard_map region works on the local slices. Leaving those axes out
+    would all-gather batch+heads and replicate the attention compute
+    data*fsdp*tensor times."""
+    from .mesh import AXIS_DATA, AXIS_FSDP, AXIS_TENSOR
+    named = set(mesh.axis_names)
+    batch_axes = tuple(a for a in (AXIS_DATA, AXIS_FSDP) if a in named)
+    head_axis = AXIS_TENSOR if AXIS_TENSOR in named else None
 
     def call(q, k, v, tokens_per_frame, window):
+        # shard_map (unlike GSPMD) hard-errors on non-divisible dims:
+        # only claim the batch/head axes when the shapes split evenly
+        B, H = q.shape[0], q.shape[1]
+        dp = 1
+        for a in batch_axes:
+            dp *= mesh.shape[a]
+        tp = mesh.shape[head_axis] if head_axis else 1
+        bspec = batch_axes if (dp > 1 and B % dp == 0) else None
+        hspec = head_axis if (tp > 1 and H % tp == 0) else None
+        spec = P(bspec, hspec, seq_axis, None)
         fn = shard_map(
             partial(sp_attention, tokens_per_frame=tokens_per_frame,
                     window=window, axis_name=seq_axis),

@@ -115,18 +115,25 @@ class AudioVAETrainer(BaseTrainer):
         self.timer.reset()
         self.install_preemption_handler()
         wf = wf0
-        while self.total_step_counter < total and not self.should_stop():
-            state, metrics = step(state, wf)
-            self.metrics.log_dict({k: float(v) for k, v in metrics.items()})
-            self.total_step_counter += 1
-            log = self.metrics.pop()
-            log["time"] = self.timer.hit()
-            self.timer.reset()
-            self.logger.log(log, step=self.total_step_counter)
-            if self.total_step_counter % self.train_cfg.save_interval == 0:
-                self.save(state)
-            nxt = next(loader)
-            wf = jnp.asarray(nxt[0] if isinstance(nxt, (list, tuple))
-                             else nxt, jnp.bfloat16)
-        self.restore_preemption_handler()
+        try:
+            while (self.total_step_counter < total
+                   and not self.should_stop()):
+                state, metrics = step(state, wf)
+                self.metrics.log_dict(
+                    {k: float(v) for k, v in metrics.items()})
+                self.total_step_counter += 1
+                log = self.metrics.pop()
+                log["time"] = self.timer.hit()
+                self.timer.reset()
+                self.logger.log(log, step=self.total_step_counter)
+                if self.total_step_counter % \
+                        self.train_cfg.save_interval == 0:
+                    self.save(state)
+                nxt = next(loader)
+                wf = jnp.asarray(nxt[0] if isinstance(nxt, (list, tuple))
+                                 else nxt, jnp.bfloat16)
+        finally:
+            # also on exceptions: leaving the flag-setter installed
+            # makes the surrounding process silently un-killable
+            self.restore_preemption_handler()
         return state

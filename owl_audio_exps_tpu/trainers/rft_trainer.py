@@ -102,10 +102,19 @@ class RFTFamilyTrainer(BaseTrainer):
             seq_len=seq_tokens, training=True)
 
         rng = jax.random.key(1234 + jax.process_index())
-        data_iter = iter(loader)
         self.timer.reset()
         self.install_preemption_handler()
+        try:
+            return self._train_loop(state, max_steps, accum, loader,
+                                    sampler, sample_loader, step_fn,
+                                    profiler, rng)
+        finally:
+            # also on exceptions: leaving the flag-setter installed
+            # makes the surrounding process silently un-killable
+            self.restore_preemption_handler()
 
+    def _train_loop(self, state, max_steps, accum, loader, sampler,
+                    sample_loader, step_fn, profiler, rng):
         from ..utils.profiling import StepProfiler
         step_profiler = StepProfiler(self.train_cfg.get("profile_dir"),
                                      start=self.train_cfg.get(
@@ -113,6 +122,8 @@ class RFTFamilyTrainer(BaseTrainer):
 
         total = max_steps if max_steps is not None else \
             self.train_cfg.get("max_steps") or int(1e12)
+
+        data_iter = iter(loader)
 
         # background host->device pipeline: stacking + transfer overlap the
         # device step (replaces torch DataLoader prefetch_factor)
@@ -172,7 +183,6 @@ class RFTFamilyTrainer(BaseTrainer):
             profiler.start()
         from ..utils.checkpoints import wait_for_checkpoints
         wait_for_checkpoints()
-        self.restore_preemption_handler()
         return state
 
     def _wrapped_loss(self, params, batch, rng):
