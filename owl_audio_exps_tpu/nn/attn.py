@@ -536,6 +536,31 @@ class DiT(nn.Module):
         if use_scan_layers(cfg, kv_cache):
             local_idx = cfg.get("local_idx", 4) or 4
             n_groups = cfg.n_layers // local_idx
+            if cfg.get("pipeline_parallel") and not self.is_initializing():
+                from ..parallel.mesh import get_mesh, AXIS_PIPE
+                mesh = get_mesh()
+                n_pipe = mesh.shape.get(AXIS_PIPE, 1)
+                if n_pipe > 1:
+                    # pipeline the group stack over the pipe mesh axis
+                    # (parallel/pipeline.py). Init takes the plain scan
+                    # path below, so the param layout is identical.
+                    assert doc_id is None, (
+                        "pipeline_parallel + document packing unsupported")
+                    stacked = self.variables["params"]["groups"]
+                    dtype = self.dtype
+
+                    def group_apply(gp, h, c, lmask, gmask):
+                        out, _ = DiTGroup(cfg, dtype=dtype).apply(
+                            {"params": gp}, h, c, lmask, gmask, None,
+                            splash)
+                        return out
+
+                    from ..parallel.pipeline import pipeline_apply
+                    x = pipeline_apply(
+                        mesh, stacked, x, cond, local_mask, global_mask,
+                        group_apply,
+                        int(cfg.get("pipeline_microbatches") or n_pipe))
+                    return x, kv_cache
             body = DiTGroup
             if (cfg.get("gradient_checkpointing", False)
                     and cfg.get("remat_sequenced", False)

@@ -13,6 +13,9 @@ One global mesh with axes ``('data', 'fsdp', 'tensor', 'seq')``:
   local-window layers exchange a one-chunk halo, global causal layers
   run ring attention (parallel/context.py). The multi-chip answer to
   the reference's 98,304-token dit_v4 config.
+* ``pipe``   — pipeline parallelism: the scan_layers group stack shards
+  over stages; microbatched GPipe schedule with ppermute activation
+  transfer (parallel/pipeline.py).
 
 Collectives ride ICI within a slice and DCN across slices — XLA inserts
 them from sharding annotations; there is no NCCL-env-var layer to port.
@@ -33,6 +36,7 @@ AXIS_DATA = "data"
 AXIS_FSDP = "fsdp"
 AXIS_TENSOR = "tensor"
 AXIS_SEQ = "seq"
+AXIS_PIPE = "pipe"
 
 
 @dataclass
@@ -41,13 +45,14 @@ class MeshConfig:
     fsdp: int = 1
     tensor: int = 1
     seq: int = 1       # context parallelism (parallel/context.py)
+    pipe: int = 1      # pipeline parallelism (parallel/pipeline.py)
 
 
 def make_mesh(mesh_cfg: MeshConfig = None, devices=None) -> Mesh:
     """Create (and install as default) the global mesh."""
     global _MESH
     mesh_cfg = mesh_cfg or MeshConfig()
-    per = mesh_cfg.fsdp * mesh_cfg.tensor * mesh_cfg.seq
+    per = mesh_cfg.fsdp * mesh_cfg.tensor * mesh_cfg.seq * mesh_cfg.pipe
     if devices is None:
         devices = jax.devices()
         needed = max(per, mesh_cfg.data * per)
@@ -62,11 +67,13 @@ def make_mesh(mesh_cfg: MeshConfig = None, devices=None) -> Mesh:
                 pass
     n = len(devices)
     fsdp, tensor, seq = mesh_cfg.fsdp, mesh_cfg.tensor, mesh_cfg.seq
+    pipe = mesh_cfg.pipe
     data = mesh_cfg.data if mesh_cfg.data > 0 else n // per
     assert data * per == n, (
-        f"mesh {data}x{fsdp}x{tensor}x{seq} != {n} devices")
-    dev_array = np.asarray(devices).reshape(data, fsdp, tensor, seq)
-    _MESH = Mesh(dev_array, (AXIS_DATA, AXIS_FSDP, AXIS_TENSOR, AXIS_SEQ))
+        f"mesh {data}x{fsdp}x{tensor}x{seq}x{pipe} != {n} devices")
+    dev_array = np.asarray(devices).reshape(data, fsdp, tensor, seq, pipe)
+    _MESH = Mesh(dev_array,
+                 (AXIS_DATA, AXIS_FSDP, AXIS_TENSOR, AXIS_SEQ, AXIS_PIPE))
     return _MESH
 
 

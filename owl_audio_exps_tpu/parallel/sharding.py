@@ -17,7 +17,8 @@ from typing import Any, Dict
 import jax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from .mesh import AXIS_DATA, AXIS_FSDP, AXIS_TENSOR, get_mesh
+from .mesh import (AXIS_DATA, AXIS_FSDP, AXIS_TENSOR, AXIS_PIPE,
+                   get_mesh)
 
 # ordered: first match wins
 RULES = [
@@ -48,15 +49,31 @@ def _axis_size(mesh, axis) -> int:
 
 def spec_for_path(path: str, shape, mesh) -> P:
     """Rule lookup with a divisibility guard: a mesh axis only applies to a
-    dimension it divides evenly (odd-sized embeddings replicate)."""
+    dimension it divides evenly (odd-sized embeddings replicate).
+
+    With an engaged ``pipe`` mesh axis, scan-stacked group params
+    (path under ``groups/``, leading dim = n_groups) shard their stack
+    axis over pipeline stages and the ordinary rules shift to the
+    per-group dims (parallel/pipeline.py)."""
+    n_pipe = mesh.shape.get(AXIS_PIPE, 1) if hasattr(mesh.shape, "get") \
+        else 1
+    stacked_pipe = n_pipe > 1 and "groups/" in path and len(shape) >= 1
+    inner = shape[1:] if stacked_pipe else shape
+    lead = (AXIS_PIPE if shape[0] % n_pipe == 0 else None) \
+        if stacked_pipe else None
+
     for pattern, spec in RULES:
         if re.search(pattern, path):
-            if len(spec) > len(shape):
+            if len(spec) > len(inner):
                 break
             guarded = tuple(
-                axis if shape[i] % _axis_size(mesh, axis) == 0 else None
+                axis if inner[i] % _axis_size(mesh, axis) == 0 else None
                 for i, axis in enumerate(spec))
+            if stacked_pipe:
+                return P(lead, *guarded)
             return P(*guarded)
+    if stacked_pipe:
+        return P(lead)
     return P()
 
 

@@ -57,7 +57,7 @@ def test_sharded_train_step_2x2x2():
     }
 
     trainer = get_trainer_cls("av")(cfg)
-    assert dict(trainer.mesh.shape) == {"data": 2, "fsdp": 2, "tensor": 2, "seq": 1}
+    assert dict(trainer.mesh.shape) == {"data": 2, "fsdp": 2, "tensor": 2, "seq": 1, "pipe": 1}
 
     state = trainer.train(max_steps=2)
     assert int(state.step) == 2
@@ -111,7 +111,7 @@ def test_distill_trainers_sharded_2x2x2(tmp_path, trainer_id):
         "wandb": {"run_name": f"test_sharded_{trainer_id}"},
     })
     trainer = get_trainer_cls(trainer_id)(cfg)
-    assert dict(trainer.mesh.shape) == {"data": 2, "fsdp": 2, "tensor": 2, "seq": 1}
+    assert dict(trainer.mesh.shape) == {"data": 2, "fsdp": 2, "tensor": 2, "seq": 1, "pipe": 1}
     state = trainer.train(max_steps=2)
     assert int(state.step) == 2
 
