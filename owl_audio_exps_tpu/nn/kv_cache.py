@@ -51,6 +51,33 @@ import jax.numpy as jnp
 from flax import struct
 
 
+_QMAX = 127.0
+
+
+def _quantize_kv(x, scale_dtype):
+    """Symmetric per-(token, head) int8 quantization over head_dim.
+
+    Returns (q int8 [..., Dh], scale [..., 1] in ``scale_dtype``). K rows
+    are post-RoPE (unit-norm rotations preserve amax scale stability);
+    V rows are raw latent projections. Scale overhead is 2 bytes per
+    Dh-row (~1.6% at Dh=64) against a 2x shrink of the ring itself, so a
+    quantized ring costs ~0.52x the bf16 bytes — and serve reads, which
+    are HBM-bandwidth-bound at long contexts (PERF.md 98k ring), move
+    half the data. The scale is rounded to its storage dtype BEFORE the
+    division so write and read use the identical scale.
+    """
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax / _QMAX, 1e-8).astype(scale_dtype)
+    q = jnp.round(xf / scale.astype(jnp.float32))
+    q = jnp.clip(q, -_QMAX, _QMAX).astype(jnp.int8)
+    return q, scale
+
+
+def _dequantize_kv(q, scale):
+    return q.astype(scale.dtype) * scale
+
+
 def _ring_slice_write(buf, new, pos, shadow, tpf, capacity):
     """Frame-aligned contiguous write at ``pos`` with wrap-mirror upkeep.
 
@@ -86,6 +113,14 @@ class KVCache:
     lstart: Optional[jnp.ndarray] = None
     llength: Optional[jnp.ndarray] = None
 
+    # int8 quantization scales (None => rings hold bf16 directly).
+    # Shapes mirror the ring tensors with Dh -> 1 (per-token, per-head
+    # symmetric scales); maintained by the same ring writes.
+    ks: Optional[jnp.ndarray] = None
+    vs: Optional[jnp.ndarray] = None
+    lks: Optional[jnp.ndarray] = None
+    lvs: Optional[jnp.ndarray] = None
+
     # static metadata
     tokens_per_frame: int = struct.field(pytree_node=False, default=1)
     shadow: int = struct.field(pytree_node=False, default=0)
@@ -109,6 +144,10 @@ class KVCache:
         return self.lk is not None
 
     @property
+    def quantized(self) -> bool:
+        return self.ks is not None
+
+    @property
     def n_layers(self) -> int:
         return len(self.groups) if self.groups else self.k.shape[0]
 
@@ -128,16 +167,24 @@ class KVCache:
                n_heads: int, head_dim: int, tokens_per_frame: int = 1,
                dtype=jnp.bfloat16, shadow: int = 0,
                local_flags: Optional[Tuple[bool, ...]] = None,
-               local_capacity: int = 0) -> "KVCache":
+               local_capacity: int = 0, quant: bool = False) -> "KVCache":
         zero = jnp.zeros((), dtype=jnp.int32)
+        ring_dtype = jnp.int8 if quant else dtype
+
+        def scales(shape):
+            if not quant:
+                return None
+            return jnp.zeros(shape[:-1] + (1,), dtype=dtype)
+
         split = (local_flags is not None and any(local_flags)
                  and 0 < local_capacity < capacity)
         if not split:
             shape = (n_layers, batch_size, n_heads, capacity + shadow,
                      head_dim)
             return cls(
-                k=jnp.zeros(shape, dtype=dtype),
-                v=jnp.zeros(shape, dtype=dtype),
+                k=jnp.zeros(shape, dtype=ring_dtype),
+                v=jnp.zeros(shape, dtype=ring_dtype),
+                ks=scales(shape), vs=scales(shape),
                 start=zero, length=zero, rope_offset=zero,
                 tokens_per_frame=tokens_per_frame, shadow=shadow,
             )
@@ -154,10 +201,12 @@ class KVCache:
         lshape = (n_local, batch_size, n_heads, local_capacity + lshadow,
                   head_dim)
         return cls(
-            k=jnp.zeros(gshape, dtype=dtype),
-            v=jnp.zeros(gshape, dtype=dtype),
-            lk=jnp.zeros(lshape, dtype=dtype),
-            lv=jnp.zeros(lshape, dtype=dtype),
+            k=jnp.zeros(gshape, dtype=ring_dtype),
+            v=jnp.zeros(gshape, dtype=ring_dtype),
+            lk=jnp.zeros(lshape, dtype=ring_dtype),
+            lv=jnp.zeros(lshape, dtype=ring_dtype),
+            ks=scales(gshape), vs=scales(gshape),
+            lks=scales(lshape), lvs=scales(lshape),
             start=zero, length=zero, lstart=zero, llength=zero,
             rope_offset=zero,
             tokens_per_frame=tokens_per_frame, shadow=0, lshadow=lshadow,
@@ -174,7 +223,14 @@ class KVCache:
 
         With a ``local_window`` and a dit/mmdit backbone, local-alternation
         layers get the small split ring (disable with
-        ``split_local_cache: false``)."""
+        ``split_local_cache: false``).
+
+        ``kv_quant: int8`` stores the rings int8 with per-(token, head)
+        bf16 scales — ~0.52x the bf16 ring bytes and half the HBM read
+        traffic on the bandwidth-bound long-context serve path. Serve
+        knob: quantization rounds on write, so self-forcing-style
+        gradients through cache CONTENTS don't exist either way (history
+        is constant under decode)."""
         tpf = config.tokens_per_frame
         frames = capacity_frames if capacity_frames is not None \
             else config.n_frames
@@ -219,6 +275,7 @@ class KVCache:
             dtype=dtype, shadow=shadow,
             local_flags=local_flags,
             local_capacity=local_capacity,
+            quant=config.get("kv_quant") in ("int8", True),
         )
 
     # ------------------------------------------------------------- queries
@@ -257,13 +314,23 @@ class KVCache:
             "ring writes must be frame-aligned"
         tpf = self.tokens_per_frame
 
+        def write(kbuf, vbuf, ksb, vsb, nk, nv, pos, shadow, cap):
+            """Write one ring's (k, v[, scales]) in fused slice updates."""
+            if self.quantized:
+                nk, sk = _quantize_kv(nk, self.ks.dtype)
+                nv, sv = _quantize_kv(nv, self.vs.dtype)
+                ksb = _ring_slice_write(ksb, sk, pos, shadow, tpf, cap)
+                vsb = _ring_slice_write(vsb, sv, pos, shadow, tpf, cap)
+            kbuf = _ring_slice_write(kbuf, nk, pos, shadow, tpf, cap)
+            vbuf = _ring_slice_write(vbuf, nv, pos, shadow, tpf, cap)
+            return kbuf, vbuf, ksb, vsb
+
         if not self.split:
             pos = jnp.mod(self.start + self.length, self.capacity)
-            k = _ring_slice_write(self.k, new_k, pos, self.shadow, tpf,
-                                  self.capacity)
-            v = _ring_slice_write(self.v, new_v, pos, self.shadow, tpf,
-                                  self.capacity)
-            return self.replace(k=k, v=v)
+            k, v, ks, vs = write(self.k, self.v, self.ks, self.vs,
+                                 new_k, new_v, pos, self.shadow,
+                                 self.capacity)
+            return self.replace(k=k, v=v, ks=ks, vs=vs)
 
         gi = np.asarray([i for i, g in enumerate(self.groups) if g == 0])
         li = np.asarray([i for i, g in enumerate(self.groups) if g == 1])
@@ -271,10 +338,8 @@ class KVCache:
         lk_new, lv_new = new_k[li], new_v[li]
 
         pos = jnp.mod(self.start + self.length, self.capacity)
-        k = _ring_slice_write(self.k, gk, pos, self.shadow, tpf,
-                              self.capacity)
-        v = _ring_slice_write(self.v, gv, pos, self.shadow, tpf,
-                              self.capacity)
+        k, v, ks, vs = write(self.k, self.v, self.ks, self.vs, gk, gv,
+                             pos, self.shadow, self.capacity)
 
         cap_l = self.local_capacity
         if t >= cap_l:
@@ -285,11 +350,11 @@ class KVCache:
             lpos = jnp.zeros((), jnp.int32)
         else:
             lpos = jnp.mod(self.lstart + self.llength, cap_l)
-        lk = _ring_slice_write(self.lk, lk_new, lpos, self.lshadow, tpf,
-                               cap_l)
-        lv = _ring_slice_write(self.lv, lv_new, lpos, self.lshadow, tpf,
-                               cap_l)
-        return self.replace(k=k, v=v, lk=lk, lv=lv)
+        lk, lv, lks, lvs = write(self.lk, self.lv, self.lks, self.lvs,
+                                 lk_new, lv_new, lpos, self.lshadow,
+                                 cap_l)
+        return self.replace(k=k, v=v, ks=ks, vs=vs,
+                            lk=lk, lv=lv, lks=lks, lvs=lvs)
 
     def advance(self, t: int) -> "KVCache":
         """Commit t written tokens: grow length (evicting oldest on
@@ -352,19 +417,31 @@ class KVCache:
         return out
 
     # --------------------------------------------------------------- reads
-    def read_layer(self, layer_idx: int, noise: float = 0.0,
-                   rng: jax.Array = None):
-        """Return (k, v) [B, H, alloc, Dh] for a layer; optional gaussian
-        cache noising (reference: owl_wms/nn/kv_cache.py:44-48
-        noise_caches)."""
+    def _raw_layer(self, layer_idx: int):
+        """(k, v, k_scale, v_scale) buffers for a layer (scales None when
+        the rings are bf16)."""
         if self.groups:
             slot = self.slots[layer_idx]
             if self.groups[layer_idx] == 1:
-                k, v = self.lk[slot], self.lv[slot]
-            else:
-                k, v = self.k[slot], self.v[slot]
-        else:
-            k, v = self.k[layer_idx], self.v[layer_idx]
+                return (self.lk[slot], self.lv[slot],
+                        None if self.lks is None else self.lks[slot],
+                        None if self.lvs is None else self.lvs[slot])
+            return (self.k[slot], self.v[slot],
+                    None if self.ks is None else self.ks[slot],
+                    None if self.vs is None else self.vs[slot])
+        return (self.k[layer_idx], self.v[layer_idx],
+                None if self.ks is None else self.ks[layer_idx],
+                None if self.vs is None else self.vs[layer_idx])
+
+    def read_layer(self, layer_idx: int, noise: float = 0.0,
+                   rng: jax.Array = None):
+        """Return (k, v) [B, H, alloc, Dh] for a layer (dequantized when
+        the rings are int8); optional gaussian cache noising (reference:
+        owl_wms/nn/kv_cache.py:44-48 noise_caches)."""
+        k, v, ks, vs = self._raw_layer(layer_idx)
+        if ks is not None:
+            k = _dequantize_kv(k, ks)
+            v = _dequantize_kv(v, vs)
         if noise > 0.0:
             rk, rv = jax.random.split(rng)
             k = k + noise * jax.random.normal(rk, k.shape, k.dtype)
@@ -376,7 +453,7 @@ class KVCache:
         tokens of a layer's ring — the decode-mode local-window read.
         Contiguous via the shadow mirror when possible."""
         cap, shadow, start, length = self.ring_view(local)
-        ck, cv = self.read_layer(layer_idx)
+        ck, cv, cks, cvs = self._raw_layer(layer_idx)
         rel0 = length - n_gather
         rel = rel0 + jnp.arange(n_gather, dtype=jnp.int32)
         valid = (rel >= 0) & (rel < length)
@@ -385,10 +462,17 @@ class KVCache:
             # when the cache holds fewer tokens than the window (rel0 < 0)
             # the wrapped-in slots are hidden by the valid mask
             win = jnp.mod(start + rel0, cap)
-            gk = jax.lax.dynamic_slice_in_dim(ck, win, n_gather, axis=2)
-            gv = jax.lax.dynamic_slice_in_dim(cv, win, n_gather, axis=2)
+
+            def sl(x):
+                return jax.lax.dynamic_slice_in_dim(x, win, n_gather,
+                                                    axis=2)
         else:
             slots = jnp.mod(start + rel, cap)
-            gk = jnp.take(ck, slots, axis=2)
-            gv = jnp.take(cv, slots, axis=2)
+
+            def sl(x):
+                return jnp.take(x, slots, axis=2)
+        gk, gv = sl(ck), sl(cv)
+        if cks is not None:  # slice int8 + scales, dequant the window only
+            gk = _dequantize_kv(gk, sl(cks))
+            gv = _dequantize_kv(gv, sl(cvs))
         return gk, gv, valid

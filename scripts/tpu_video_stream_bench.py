@@ -20,7 +20,8 @@ cfg = transformer_config(
     uncond=False, backbone="dit", has_audio=False, rope_impl="motion",
     local_window=16, global_window=None,
     split_local_cache=(lambda s: s if s == "auto" else s == "1")(
-        os.environ.get("OWL_SPLIT_CACHE", "auto")))
+        os.environ.get("OWL_SPLIT_CACHE", "auto")),
+    kv_quant=os.environ.get("OWL_KV_QUANT") or None)
 core = GameRFTCore(cfg, dtype=jnp.bfloat16)
 rs = np.random.RandomState(0)
 init_len = 8
