@@ -179,7 +179,8 @@ def _block_sizes(q_len: int, kv_len: int) -> splash_kernel.BlockSizes:
 @lru_cache(maxsize=64)
 def _make_kernel(n_heads: int, q_len: int, kv_len: int,
                  tokens_per_frame: int, window: Optional[int],
-                 causal: bool):
+                 causal: bool, save_residuals: bool = False,
+                 interpret: bool = False):
     mask = splash_mask.MultiHeadMask(
         [FrameMask((q_len, kv_len), tokens_per_frame, window, causal)
          for _ in range(n_heads)])
@@ -188,7 +189,8 @@ def _make_kernel(n_heads: int, q_len: int, kv_len: int,
     # shared across traces)
     with jax.ensure_compile_time_eval():
         return splash_kernel.make_splash_mha_single_device(
-            mask=mask, block_sizes=_block_sizes(q_len, kv_len))
+            mask=mask, block_sizes=_block_sizes(q_len, kv_len),
+            save_residuals=save_residuals, interpret=interpret)
 
 
 def splash_attention(
@@ -256,6 +258,52 @@ def splash_attention(
     else:
         out = jax.vmap(kernel)(qs, k, v)
     return out[:, :, :L].astype(q.dtype)
+
+
+def splash_attention_lse(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+    tokens_per_frame: int, causal: bool,
+    interpret: bool = False,
+):
+    """Forward-only splash attention returning ``(out, lse)`` — the
+    normalized output plus the per-row natural-log logsumexp — via the
+    kernel's ``save_residuals`` mode.
+
+    This is the MXU fast path for the ring-attention partials in
+    ``parallel/context.py`` (same ``(out, lse)`` merge contract as the
+    dense blocked partial). The library's custom vjp raises under AD when
+    residuals are saved, so this function must sit behind a caller-side
+    ``jax.custom_vjp`` (the ring partial recomputes its backward through
+    the dense path).
+
+    Unlike :func:`splash_attention`, **no 1/sqrt(d) scaling is applied**:
+    the ring caller pre-scales q once for all partials. Returns
+    ``out [B, H, L, Dh]`` and ``lse [B, H, L]``, both f32 (merge dtype).
+    """
+    B, H, L, Dh = q.shape
+    L_pad = pad_to_block(L)
+    pad = L_pad - L
+    qs, ks, vs = q, k, v
+    tok_doc = None
+    if pad:
+        # same sentinel-segment fencing as splash_attention: pad tokens
+        # form their own document, invisible to real tokens
+        zpad = ((0, 0), (0, 0), (0, pad), (0, 0))
+        qs, ks, vs = (jnp.pad(a, zpad) for a in (qs, ks, vs))
+        tok_doc = jnp.concatenate(
+            [jnp.zeros((B, L), jnp.int32), jnp.ones((B, pad), jnp.int32)],
+            axis=-1)
+
+    kernel = _make_kernel(H, L_pad, L_pad, tokens_per_frame, None, causal,
+                          save_residuals=True, interpret=interpret)
+    if tok_doc is not None:
+        fn = jax.vmap(lambda qq, kk, vv, d: kernel(
+            qq, kk, vv, segment_ids=splash_kernel.SegmentIds(q=d, kv=d)))
+        out, (lse,) = fn(qs, ks, vs, tok_doc)
+    else:
+        out, (lse,) = jax.vmap(kernel)(qs, ks, vs)
+    return (out[:, :, :L].astype(jnp.float32),
+            lse[:, :, :L].astype(jnp.float32))
 
 
 def splash_available(q_len: int = None) -> bool:

@@ -38,6 +38,7 @@ a seq-axis mesh variant.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Optional
 
@@ -73,7 +74,7 @@ def sp_local_attention(q, k, v, tokens_per_frame: int, window: int,
 
 # ------------------------------------------------------------- global
 
-def _partial_attn(q, k, v, tpf: int, causal: bool):
+def _partial_attn_dense(q, k, v, tpf: int, causal: bool):
     """One ring step's partial attention: returns (out, lse) — the
     NORMALIZED softmax output over this step's keys plus the row
     logsumexp. Partials merge exactly:
@@ -84,8 +85,6 @@ def _partial_attn(q, k, v, tpf: int, causal: bool):
     processed in blocks (lax.map) so the live f32 tile is
     [H, block, L_loc] — at the 98k config's 12,288 tokens/shard that is
     ~600 MB instead of the 14.5 GB a whole-shard einsum would need.
-    (A pod-scale upgrade is the splash kernel with save_residuals=True —
-    same (out, lse) contract, unchanged merge algebra.)
     """
     B, H, L, Dh = q.shape
     assert L % tpf == 0, (
@@ -94,6 +93,11 @@ def _partial_attn(q, k, v, tpf: int, causal: bool):
 
     full_mask = dense_mask(L, tpf, None, None, 0, True) if causal else None
 
+    # checkpointed per block: without it, differentiating the lax.map
+    # saves every block's f32 [B, H, qb, L] softmax residuals — measured
+    # 2 x 13.5 GB at the 98k config's 12,288-token shard (B=1, H=24).
+    # Rematerializing keeps the backward's live set at one block's tile.
+    @jax.checkpoint
     def block(args):
         qb, maskb = args
         s = jnp.einsum("bhqd,bhkd->bhqk", qb, k,
@@ -126,6 +130,53 @@ def _partial_attn(q, k, v, tpf: int, causal: bool):
     out = outs.transpose(1, 2, 0, 3, 4).reshape(B, H, L, Dh)
     lse = lses.transpose(1, 2, 0, 3).reshape(B, H, L)
     return out, lse
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _splash_partial(q, k, v, tpf: int, causal: bool, interpret: bool):
+    """Ring partial on the splash kernel (save_residuals) — MXU-tiled,
+    no logits spill — with the dense blocked partial as its backward.
+
+    The library's splash vjp raises when residuals are saved, so the
+    backward recomputes through ``_partial_attn_dense`` (exactly the
+    flash-style recompute the ring's ``jax.checkpoint`` step was already
+    paying — only the forward changes engines). Cotangents flow through
+    BOTH outputs: the merge consumes lse, and d(lse)/d(s) = softmax(s),
+    which the dense recompute's vjp provides.
+    """
+    from ..ops.splash import splash_attention_lse
+    return splash_attention_lse(q, k, v, tpf, causal, interpret=interpret)
+
+
+def _splash_partial_fwd(q, k, v, tpf, causal, interpret):
+    out = _splash_partial(q, k, v, tpf, causal, interpret)
+    return out, (q, k, v)
+
+
+def _splash_partial_bwd(tpf, causal, interpret, res, ct):
+    q, k, v = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: _partial_attn_dense(q_, k_, v_, tpf, causal),
+        q, k, v)
+    return vjp(ct)
+
+
+_splash_partial.defvjp(_splash_partial_fwd, _splash_partial_bwd)
+
+
+def _partial_attn(q, k, v, tpf: int, causal: bool):
+    """Route one ring partial: splash kernel on TPU (env knob
+    ``OWL_SP_GLOBAL`` ∈ auto|dense|splash|splash_interpret, default
+    auto = splash wherever the kernel runs), dense blocked otherwise.
+    ``splash_interpret`` exercises the kernel path on the CPU test mesh
+    (Pallas interpret mode)."""
+    from ..ops.splash import splash_available
+    impl = os.environ.get("OWL_SP_GLOBAL", "auto")
+    if impl == "splash_interpret":
+        return _splash_partial(q, k, v, tpf, causal, True)
+    if impl == "splash" or (impl == "auto" and splash_available()):
+        return _splash_partial(q, k, v, tpf, causal, False)
+    return _partial_attn_dense(q, k, v, tpf, causal)
 
 
 def sp_global_attention(q, k, v, tokens_per_frame: int, axis_name: str,

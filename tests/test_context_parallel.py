@@ -79,6 +79,38 @@ def test_gradients_match_full_sequence(window):
             err_msg=f"d{name} mismatch (window={window})")
 
 
+@pytest.mark.parametrize("n_shards", [2, 4])
+def test_ring_splash_partial_matches_oracle(n_shards, monkeypatch):
+    """The splash-kernel ring partial (save_residuals fwd, dense-vjp bwd)
+    == the dense ring == the full-sequence oracle, fwd and grads.
+    Runs the real Pallas kernel in interpret mode on the CPU mesh."""
+    monkeypatch.setenv("OWL_SP_GLOBAL", "splash_interpret")
+    rs = np.random.RandomState(21)
+    per = 4 * TPF
+    L = n_shards * per
+    q, k, v = _qkv(rs, L)
+    gw = jnp.asarray(rs.randn(B, H, L, DH), jnp.float32)
+    mesh = _mesh(n_shards)
+
+    def loss_sp(q, k, v):
+        return jnp.vdot(shard_attention(mesh, "seq")(
+            q, k, v, TPF, None), gw)
+
+    want = _oracle(q, k, v, None)
+    got = jax.jit(lambda q, k, v: shard_attention(mesh, "seq")(
+        q, k, v, TPF, None))(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=3e-5, rtol=3e-5)
+
+    g = jax.jit(jax.grad(loss_sp, argnums=(0, 1, 2)))(q, k, v)
+    gd = jax.grad(lambda q, k, v: jnp.vdot(_oracle(q, k, v, None), gw),
+                  argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip("qkv", g, gd):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=3e-4, rtol=3e-4,
+            err_msg=f"d{name} mismatch (splash ring partial)")
+
+
 def test_sharded_inputs_stay_sharded():
     """shard_attention consumes and produces seq-sharded arrays without
     gathering the sequence axis (the whole point)."""
