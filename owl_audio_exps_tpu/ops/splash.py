@@ -198,8 +198,13 @@ def splash_attention(
     tokens_per_frame: int, window: Optional[int], causal: bool,
     doc_id: Optional[jnp.ndarray] = None,
     head_chunks: int = 1,
+    scale: Optional[float] = None,
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """q,k,v: [B, H, L, Dh]; doc_id: per-frame [B, n_frames] int32 or None.
+    ``scale``: logit scale applied to q (default 1/sqrt(Dh); pass 1.0 for
+    pre-scaled q, e.g. the ring-attention partials). ``interpret`` runs
+    the Pallas kernel in interpret mode (CPU tests).
 
     ``head_chunks`` > 1 splits the call into H/head_chunks-head kernel
     invocations. Same math, same total bytes — but every attention-side
@@ -218,14 +223,16 @@ def splash_attention(
             splash_attention(q[:, i * hc:(i + 1) * hc],
                              k[:, i * hc:(i + 1) * hc],
                              v[:, i * hc:(i + 1) * hc],
-                             tokens_per_frame, window, causal, doc_id)
+                             tokens_per_frame, window, causal, doc_id,
+                             scale=scale, interpret=interpret)
             for i in range(head_chunks)
         ]
         return jnp.concatenate(outs, axis=1)
     L_pad = pad_to_block(L)
     pad = L_pad - L
 
-    scale = Dh ** -0.5
+    if scale is None:
+        scale = Dh ** -0.5
     qs = (q * scale).astype(q.dtype)
 
     if doc_id is not None:
@@ -247,7 +254,8 @@ def splash_attention(
             [tok_doc, jnp.broadcast_to(sentinel, (B, pad))], axis=-1)
 
     kernel = _make_kernel(H, L_pad, L_pad if pad else k.shape[2],
-                          tokens_per_frame, window, causal)
+                          tokens_per_frame, window, causal,
+                          interpret=interpret)
 
     if tok_doc is not None:
         seg_fn = jax.vmap(

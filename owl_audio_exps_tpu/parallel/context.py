@@ -154,11 +154,43 @@ def _splash_partial_fwd(q, k, v, tpf, causal, interpret):
 
 
 def _splash_partial_bwd(tpf, causal, interpret, res, ct):
+    """Backward of the (out, lse) partial, on the splash engine.
+
+    The lse cotangent decomposes into splash-shaped pieces (p = the
+    normalized softmax, s = q·kᵀ with pre-scaled q):
+      ∂lse_i/∂q_i = Σ_k p_ik k_k           = splash(q, k, v:=k) row i
+      ∂lse_i/∂k_k = p_ik q_i  ⇒  dk_lse    = pᵀ (g_lse ⊙ q)
+                                           = the dv-slot of the splash
+                                             vjp with cotangent g_lse·q
+      ∂lse/∂v = 0
+    so the whole backward is two splash-bwd kernel invocations plus one
+    splash fwd — no dense [H, q, L] logits traffic. ``OWL_SP_BWD=dense``
+    falls back to differentiating the blocked dense partial.
+    """
     q, k, v = res
-    _, vjp = jax.vjp(
-        lambda q_, k_, v_: _partial_attn_dense(q_, k_, v_, tpf, causal),
-        q, k, v)
-    return vjp(ct)
+    if os.environ.get("OWL_SP_BWD", "splash") == "dense":
+        _, vjp = jax.vjp(
+            lambda q_, k_, v_: _partial_attn_dense(q_, k_, v_, tpf, causal),
+            q, k, v)
+        return vjp(ct)
+
+    from ..ops.splash import splash_attention
+    g_out, g_lse = ct
+
+    def out_fn(q_, k_, v_):
+        return splash_attention(q_, k_, v_, tpf, None, causal,
+                                scale=1.0, interpret=interpret
+                                ).astype(jnp.float32)
+
+    _, vjp_fn = jax.vjp(out_fn, q, k, v)
+    dq, dk, dv = vjp_fn(g_out.astype(jnp.float32))
+    # lse terms
+    pk = out_fn(q, k, k)                          # p @ K, normalized
+    dq = (dq + g_lse[..., None] * pk).astype(q.dtype)
+    _, _, dv2 = vjp_fn(g_lse[..., None].astype(jnp.float32)
+                       * q.astype(jnp.float32))
+    dk = (dk + dv2).astype(k.dtype)
+    return dq, dk, dv.astype(v.dtype)
 
 
 _splash_partial.defvjp(_splash_partial_fwd, _splash_partial_bwd)
