@@ -41,7 +41,7 @@ class AVCachingSamplerV2:
                  num_frames: int = 60, noise_prev: float = 0.2,
                  max_window=None, custom_schedule=None,
                  only_return_generated: bool = False,
-                 loop_mode: str = "auto", **_):
+                 loop_mode: str = "auto", chunked_prefill="auto", **_):
         self.n_steps = n_steps
         self.cfg_scale = cfg_scale
         self.num_frames = num_frames
@@ -52,7 +52,22 @@ class AVCachingSamplerV2:
         self.only_return_generated = only_return_generated
         assert loop_mode in ("auto", "scan", "host")
         self.loop_mode = loop_mode
+        # chunked prefill: write context frame-by-frame through the
+        # decode path instead of one whole-context forward. Exactly
+        # equivalent (autoregressive caching identity; frame-internal
+        # attention is full either way) but the attention score tile is
+        # [H, tpf, cap*tpf] instead of [H, init*tpf, cap*tpf] — the
+        # one-shot tile is what OOMs giant rings (f32 [24, 512, 393k] =
+        # 19.3 GB at cap=6144). "auto" engages at capacity >= 2048
+        # frames; prefill is one-time so the extra dispatches are noise.
+        assert chunked_prefill in (True, False, "auto")
+        self.chunked_prefill = chunked_prefill
         self._jit = JitCache()
+
+    def _use_chunked_prefill(self, capacity: int) -> bool:
+        if self.chunked_prefill == "auto":
+            return capacity >= 2048
+        return bool(self.chunked_prefill)
 
     def __call__(self, core, params, x, mouse, btn, rng):
         """core: GameRFTCore; x: [b, init_len, c, h, w] context latents;
@@ -79,6 +94,32 @@ class AVCachingSamplerV2:
             out = out[:, -num_frames:]
         return out
 
+    # ---------------------------------------------------------- prefill
+    def _prefill_cache(self, core, params, cache, noisy_ctx, t_ctx,
+                       mouse, btn, capacity):
+        """Write the noised context into the cache — one whole-context
+        forward, or frame-by-frame through the decode path for giant
+        rings (see chunked_prefill in __init__)."""
+        init_len = noisy_ctx.shape[1]
+        if not self._use_chunked_prefill(capacity):
+            _, cache = core.apply(params, noisy_ctx, t_ctx,
+                                  mouse[:, :init_len], btn[:, :init_len],
+                                  kv_cache=cache, write=True)
+            return cache
+
+        def step(cache, i):
+            sl = partial(jax.lax.dynamic_slice_in_dim, start_index=i,
+                         slice_size=1, axis=1)
+            _, cache = core.apply(params, sl(noisy_ctx), sl(t_ctx),
+                                  sl(mouse), sl(btn),
+                                  kv_cache=cache, write=True,
+                                  decoding=True)
+            return cache, None
+
+        cache, _ = jax.lax.scan(step, cache,
+                                jnp.arange(init_len, dtype=jnp.int32))
+        return cache
+
     # ------------------------------------------------- host-loop serve path
     def _host_fns(self, core, num_frames, b, init_len, c, h, w, dtype):
         dt = resolve_schedule(self.n_steps, self.custom_schedule)
@@ -94,9 +135,8 @@ class AVCachingSamplerV2:
             rng, r_ctx = jax.random.split(rng)
             noisy_ctx = zlerp(r_ctx, x, self.noise_prev)
             t_ctx = jnp.full((b, x.shape[1]), self.noise_prev, dtype=dtype)
-            _, cache = core.apply(params, noisy_ctx, t_ctx,
-                                  mouse[:, :x.shape[1]], btn[:, :x.shape[1]],
-                                  kv_cache=cache, write=True)
+            cache = self._prefill_cache(core, params, cache, noisy_ctx,
+                                        t_ctx, mouse, btn, capacity)
             return cache, rng
 
         @partial(jax.jit, donate_argnums=(1,))
@@ -172,9 +212,8 @@ class AVCachingSamplerV2:
         rng, r_ctx = jax.random.split(rng)
         noisy_ctx = zlerp(r_ctx, x, self.noise_prev)
         t_ctx = jnp.full((b, init_len), self.noise_prev, dtype=x.dtype)
-        _, cache = core.apply(params, noisy_ctx, t_ctx,
-                              mouse[:, :init_len], btn[:, :init_len],
-                              kv_cache=cache, write=True)
+        cache = self._prefill_cache(core, params, cache, noisy_ctx, t_ctx,
+                                    mouse, btn, capacity)
 
         # ---- STEP 2/3: frame loop
         def gen_step(carry, idx):

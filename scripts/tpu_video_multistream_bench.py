@@ -49,7 +49,8 @@ for B in BATCHES:
     sampler = AVCachingSamplerV2(
         n_steps=STEPS, cfg_scale=1.0, num_frames=N_GEN, noise_prev=0.2,
         max_window=CAP,
-        custom_schedule=[1.0, 0.5] if STEPS == 2 else None)
+        custom_schedule=[1.0, 0.5] if STEPS == 2 else None,
+        loop_mode=os.environ.get("OWL_LOOP_MODE", "auto"))
     t_start = time.perf_counter()
     out = sampler(core, params, x, mouse, btn, jax.random.key(1))
     np.asarray(out)

@@ -98,6 +98,24 @@ def test_av_caching_v2_sampler():
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_av_caching_chunked_prefill_matches_oneshot():
+    """Frame-by-frame decode-path prefill == the one-shot whole-context
+    prefill (autoregressive caching identity) — the giant-ring serve
+    route (chunked_prefill)."""
+    cfg, core, params = _video_core()
+    rs = np.random.RandomState(3)
+    x = jnp.asarray(rs.randn(1, 4, 4, 2, 2), F32)
+    mouse = jnp.asarray(rs.randn(1, 10, 2), F32)
+    btn = jnp.asarray(rs.rand(1, 10, 3) > 0.5, F32)
+    kw = dict(n_steps=2, cfg_scale=1.3, num_frames=6, noise_prev=0.2)
+    ref = get_sampler_cls("av_caching")(chunked_prefill=False, **kw)(
+        core, params, x, mouse, btn, jax.random.key(1))
+    got = get_sampler_cls("av_caching")(chunked_prefill=True, **kw)(
+        core, params, x, mouse, btn, jax.random.key(1))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
 def test_av_caching_one_step_sampler():
     cfg, core, params = _video_core()
     rs = np.random.RandomState(0)
