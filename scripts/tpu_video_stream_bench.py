@@ -21,7 +21,8 @@ cfg = transformer_config(
     local_window=16, global_window=None,
     split_local_cache=(lambda s: s if s == "auto" else s == "1")(
         os.environ.get("OWL_SPLIT_CACHE", "auto")),
-    kv_quant=os.environ.get("OWL_KV_QUANT") or None)
+    kv_quant=os.environ.get("OWL_KV_QUANT") or None,
+    cache_attn_impl=os.environ.get("OWL_CACHE_ATTN", "concat"))
 core = GameRFTCore(cfg, dtype=jnp.bfloat16)
 rs = np.random.RandomState(0)
 init_len = 8
