@@ -314,6 +314,104 @@ def splash_attention_lse(
             lse[:, :, :L].astype(jnp.float32))
 
 
+def splash_attention_lse_vjp(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+    out: jnp.ndarray, lse: jnp.ndarray,
+    g_out: jnp.ndarray, g_lse: jnp.ndarray,
+    tokens_per_frame: int, causal: bool,
+    interpret: bool = False,
+):
+    """Fused backward of :func:`splash_attention_lse` for cotangents on
+    BOTH outputs — one standard flash backward, no extra passes.
+
+    The lse cotangent folds into the kernel's ``di`` scalar: the bwd
+    kernels compute ``ds = p * (dp - di)`` with ``p = exp(s - lse)`` the
+    normalized softmax (splash_attention_kernel.py, dq/dkv kernels), and
+    ``d lse_i / d s_ik = p_ik``, so the combined cotangent is exactly the
+    standard backward with ``di' = rowsum(out * g_out) - g_lse`` (and
+    ``d lse / d v = 0``). This replaces the 3-pass decomposition
+    (vjp x2 + a p@K forward) that the ring partial's backward otherwise
+    needs — see parallel/context.py ``_splash_partial_bwd``.
+
+    q must be pre-scaled exactly as at the forward (the ring pre-scales
+    once with scale=1.0). Shapes: q/k/v/out/g_out [B, H, L, Dh],
+    lse/g_lse [B, H, L]. Returns (dq, dk, dv) in q/k/v dtypes.
+    """
+    B, H, L, Dh = q.shape
+    L_pad = pad_to_block(L)
+    pad = L_pad - L
+
+    # di' — the shifted delta scalar [B, H, L] f32
+    di = (jnp.einsum("bhsd,bhsd->bhs", out.astype(jnp.float32),
+                     g_out.astype(jnp.float32))
+          - g_lse.astype(jnp.float32))
+
+    tok_doc = None
+    if pad:
+        zpad4 = ((0, 0), (0, 0), (0, pad), (0, 0))
+        zpad3 = ((0, 0), (0, 0), (0, pad))
+        q, k, v, g_out = (jnp.pad(a, zpad4) for a in (q, k, v, g_out))
+        # pad rows: do = 0 and di = 0 make every ds term vanish; lse = 0
+        # is safe because fenced logits sit at mask_value, so
+        # p = exp(-1e37 - 0) = 0
+        lse, di = (jnp.pad(a, zpad3) for a in (lse, di))
+        tok_doc = jnp.concatenate(
+            [jnp.zeros((B, L), jnp.int32), jnp.ones((B, pad), jnp.int32)],
+            axis=-1)
+
+    kernel = _make_kernel(H, L_pad, L_pad, tokens_per_frame, None, causal,
+                          save_residuals=True, interpret=interpret)
+    kw = kernel.kwargs
+    bs: splash_kernel.BlockSizes = kw["block_sizes"]
+    mask_function = kw["mask_function"]
+    mask_value = kw["mask_value"]
+
+    def collapse(mi):
+        if mi is None or mi.partial_mask_blocks is None:
+            return mi
+        return mi._replace(partial_mask_blocks=mi.partial_mask_blocks.reshape(
+            -1, *mi.partial_mask_blocks.shape[-2:]))
+
+    dkv_mi = collapse(kernel.dkv_mask_info)
+    dq_mi = collapse(kernel.dq_mask_info)
+
+    def one(qb, kb, vb, lseb, dob, dib, db):
+        seg = (splash_kernel.SegmentIds(q=db, kv=db)
+               if db is not None else None)
+        dq, dk, dv = splash_kernel._splash_attention_bwd_dkv(
+            qb, kb, vb, seg, None, lseb, dob, dib,
+            bq=bs.block_q_dkv, bkv=bs.block_kv_dkv,
+            bkv_compute=bs.block_kv_dkv_compute,
+            is_mqa=False, mask_info=dkv_mi, mask_value=mask_value,
+            attn_logits_soft_cap=None,
+            use_fused_bwd_kernel=bs.use_fused_bwd_kernel,
+            q_layout=bs.q_layout, k_layout=bs.k_layout,
+            v_layout=bs.v_layout, mask_function=mask_function,
+            interpret=interpret)
+        if dq is None:
+            dq = splash_kernel._splash_attention_bwd_dq(
+                qb, kb, vb, seg, None, lseb, dob, dib,
+                bq=bs.block_q_dq, bkv=bs.block_kv_dq,
+                is_mqa=False, mask_info=dq_mi, mask_value=mask_value,
+                attn_logits_soft_cap=None,
+                q_layout=bs.q_layout, k_layout=bs.k_layout,
+                v_layout=bs.v_layout, mask_function=mask_function,
+                interpret=interpret)
+        return dq, dk, dv
+
+    lse_f = lse.astype(jnp.float32)
+    if tok_doc is not None:
+        dq, dk, dv = jax.vmap(one)(q, k, v, lse_f, g_out, di, tok_doc)
+    else:
+        dq, dk, dv = jax.vmap(
+            lambda qb, kb, vb, lseb, dob, dib: one(
+                qb, kb, vb, lseb, dob, dib, None)
+        )(q, k, v, lse_f, g_out, di)
+    return (dq[:, :, :L].astype(q.dtype),
+            dk[:, :, :L].astype(k.dtype),
+            dv[:, :, :L].astype(v.dtype))
+
+
 def splash_available(q_len: int = None) -> bool:
     try:
         if jax.devices()[0].platform != "tpu":

@@ -150,25 +150,40 @@ def _splash_partial(q, k, v, tpf: int, causal: bool, interpret: bool):
 
 def _splash_partial_fwd(q, k, v, tpf, causal, interpret):
     out = _splash_partial(q, k, v, tpf, causal, interpret)
-    return out, (q, k, v)
+    # out = (attn_out, lse): saved for the fused backward, whose only
+    # extra inputs beyond (q, k, v, cotangents) are exactly these. Under
+    # the ring scan's jax.checkpoint they are rematerialized, not stored.
+    return out, (q, k, v, out[0], out[1])
 
 
 def _splash_partial_bwd(tpf, causal, interpret, res, ct):
     """Backward of the (out, lse) partial, on the splash engine.
 
-    The lse cotangent decomposes into splash-shaped pieces (p = the
+    Default (``OWL_SP_BWD=fused``): ONE standard flash backward — the
+    lse cotangent folds into the kernel's per-row delta scalar
+    (di' = rowsum(out*g_out) - g_lse, see splash_attention_lse_vjp), so
+    the cost is a single dq + dkv pass with zero extra kernels.
+
+    ``OWL_SP_BWD=splash`` keeps the 3-pass decomposition (p = the
     normalized softmax, s = q·kᵀ with pre-scaled q):
       ∂lse_i/∂q_i = Σ_k p_ik k_k           = splash(q, k, v:=k) row i
       ∂lse_i/∂k_k = p_ik q_i  ⇒  dk_lse    = pᵀ (g_lse ⊙ q)
                                            = the dv-slot of the splash
                                              vjp with cotangent g_lse·q
       ∂lse/∂v = 0
-    so the whole backward is two splash-bwd kernel invocations plus one
-    splash fwd — no dense [H, q, L] logits traffic. ``OWL_SP_BWD=dense``
-    falls back to differentiating the blocked dense partial.
+    i.e. two splash-bwd invocations plus one splash fwd — no dense
+    [H, q, L] logits traffic either, but ~2x the fused path's work.
+    ``OWL_SP_BWD=dense`` differentiates the blocked dense partial.
     """
-    q, k, v = res
-    if os.environ.get("OWL_SP_BWD", "splash") == "dense":
+    q, k, v, out, lse = res
+    impl = os.environ.get("OWL_SP_BWD", "fused")
+    if impl == "fused":
+        from ..ops.splash import splash_attention_lse_vjp
+        g_out, g_lse = ct
+        return splash_attention_lse_vjp(
+            q, k, v, out, lse, g_out, g_lse, tpf, causal,
+            interpret=interpret)
+    if impl == "dense":
         _, vjp = jax.vjp(
             lambda q_, k_, v_: _partial_attn_dense(q_, k_, v_, tpf, causal),
             q, k, v)

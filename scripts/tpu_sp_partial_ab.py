@@ -44,6 +44,11 @@ def bench(fn, tag):
           % (tag, 1e3 * float(np.median(times)), compile_s))
 
 
+def loss(q, k, v):
+    out, lse = ctx._partial_attn(q, k, v, TPF, True)
+    return jnp.sum(out.astype(jnp.float32)) + jnp.sum(lse)
+
+
 for impl in ("dense", "splash"):
     os.environ["OWL_SP_GLOBAL"] = impl
     for causal in (True, False):
@@ -51,9 +56,8 @@ for impl in ("dense", "splash"):
                       ctx._partial_attn(q, k, v, TPF, c))
         bench(fwd, f"{impl} fwd causal={causal}")
 
-    def loss(q, k, v):
-        out, lse = ctx._partial_attn(q, k, v, TPF, True)
-        return jnp.sum(out.astype(jnp.float32)) + jnp.sum(lse)
-
-    bench(jax.jit(jax.grad(loss, argnums=(0, 1, 2))),
-          f"{impl} fwd+bwd causal")
+    bwds = ("dense",) if impl == "dense" else ("fused", "splash")
+    for bwd_impl in bwds:
+        os.environ["OWL_SP_BWD"] = bwd_impl
+        bench(jax.jit(jax.grad(loss, argnums=(0, 1, 2))),
+              f"{impl} fwd+bwd[{bwd_impl}]")

@@ -80,11 +80,13 @@ def test_gradients_match_full_sequence(window):
 
 
 @pytest.mark.parametrize("n_shards,sp_bwd", [
+    (2, "fused"), (4, "fused"),
     (2, "splash"), (4, "splash"), (4, "dense")])
 def test_ring_splash_partial_matches_oracle(n_shards, sp_bwd, monkeypatch):
-    """The splash-kernel ring partial (save_residuals fwd; bwd on either
-    engine — the splash lse-cotangent decomposition or the dense vjp)
-    == the dense ring == the full-sequence oracle, fwd and grads.
+    """The splash-kernel ring partial (save_residuals fwd; bwd on any
+    engine — the fused di-shift backward, the splash lse-cotangent
+    decomposition, or the dense vjp) == the dense ring == the
+    full-sequence oracle, fwd and grads.
     Runs the real Pallas kernel in interpret mode on the CPU mesh."""
     monkeypatch.setenv("OWL_SP_GLOBAL", "splash_interpret")
     monkeypatch.setenv("OWL_SP_BWD", sp_bwd)
