@@ -48,6 +48,12 @@ def main():
     t0 = jnp.zeros((1, init_len), jnp.bfloat16)
     params = core.init(jax.random.key(0), x, t0)
 
+    # OWL_BENCH_QUANT=int8: weight-only int8 serving (nn/wquant.py).
+    # Off by default — the recorded metric stays full-precision.
+    if os.environ.get("OWL_BENCH_QUANT") == "int8":
+        from owl_audio_exps_tpu.nn.wquant import quantize_params_int8
+        params = {"params": quantize_params_int8(params["params"])}
+
     sampler = AudioCachingSampler(
         n_steps=2, num_tokens=num_tokens, noise_prev=0.2,
         custom_schedule=[1.0, 0.5], max_window=120)

@@ -220,6 +220,15 @@ class CachedStreamingPipeline:
                                          dtype=jnp.bfloat16)
         self.rng = jax.random.key(seed)
         self._ticks = {}
+        # unbounded interactive sessions: the host drives the loop so it
+        # knows the ring's write offset — when the next frame would leave
+        # the RoPE table, an exact rebase (separate rare jitted call,
+        # outside the donated tick) rotates cached keys back into range
+        from owl_audio_exps_tpu.nn.kv_cache import rope_rebase_plan
+        self._table_f, self._delta_f, _rebase = rope_rebase_plan(
+            config, window_frames)
+        self._rebase = jax.jit(_rebase) if self._delta_f >= 1 else None
+        self._off_frames = 0
 
     def prime(self, ctx_latents, ctx_mouse, ctx_btn):
         """Warm-start: cache a context clip at noise_prev."""
@@ -233,6 +242,7 @@ class CachedStreamingPipeline:
             lambda p, c: self.core.apply(p, noisy, t, ctx_mouse, ctx_btn,
                                          kv_cache=c, write=True))(
             self.params, self.cache)
+        self._off_frames += ctx_latents.shape[1]
 
     def _make_tick(self, n_steps: int):
         core, params, alpha = self.core, self.params, self.noise_prev
@@ -266,11 +276,15 @@ class CachedStreamingPipeline:
         if n not in self._ticks:
             self._ticks[n] = self._make_tick(n)
         t0 = time.perf_counter()
+        if self._rebase is not None and self._off_frames + 1 > self._table_f:
+            self.cache = self._rebase(self.cache)
+            self._off_frames -= self._delta_f
         m1 = jnp.asarray(new_mouse, jnp.bfloat16)[None, None, :]
         b1 = jnp.asarray(np.asarray(new_btn, np.float32),
                          jnp.bfloat16)[None, None, :]
         self.cache, self.rng, frame_lat = self._ticks[n](
             self.cache, self.rng, m1, b1)
+        self._off_frames += 1
         if self.frame_decode_fn is not None:
             frame = self.frame_decode_fn(frame_lat * self.image_scale)[0]
         else:

@@ -221,14 +221,18 @@ class GameMFTAudio(nn.Module):
 
         err_v = (u_vid - targ_vid).reshape(b, -1)
         err_a = (u_aud - targ_aud).reshape(b, -1)
-        loss_per_sample = (jnp.sum(jnp.square(err_v), axis=1)
-                           + jnp.sum(jnp.square(err_a), axis=1))
-        loss = jnp.mean(loss_per_sample)
+        loss_vid = jnp.mean(jnp.sum(jnp.square(err_v), axis=1))
+        loss_aud = jnp.mean(jnp.sum(jnp.square(err_a), axis=1))
+        loss = loss_vid + loss_aud
 
         if not return_dict:
-            return loss
+            # same (loss, video, audio) contract as GameRFTAudio so the
+            # AV trainer family trains MeanFlow unchanged (verified
+            # on-chip by scripts/tpu_distill_check.py)
+            return loss, loss_vid, loss_aud
         return {
             "diffusion_loss": loss,
+            "video_loss": loss_vid, "audio_loss": loss_aud,
             "u_pred_video": u_vid, "u_pred_audio": u_aud,
             "u_targ_video": targ_vid, "u_targ_audio": targ_aud,
             "ts": ts, "rs": rs, "cfg_mask": has_controls,

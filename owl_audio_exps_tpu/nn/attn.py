@@ -346,6 +346,9 @@ class QKVProj(nn.Module):
         in_f = x.shape[-1]
         kernel = self.param("kernel", torch_linear_kernel_init, (in_f, 3 * d))
         bias = self.param("bias", torch_linear_bias_init(in_f), (3 * d,))
+        if not hasattr(kernel, "astype"):  # serve-time int8 (nn/wquant.py)
+            from .wquant import dequantize_kernel
+            kernel = dequantize_kernel(kernel, self.dtype)
         xd = x.astype(self.dtype)
 
         n_tokens = x.shape[-2] if x.ndim >= 2 else 1

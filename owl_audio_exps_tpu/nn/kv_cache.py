@@ -448,6 +448,33 @@ class KVCache:
             v = v + noise * jax.random.normal(rv, v.shape, v.dtype)
         return k, v
 
+    def rebase_rope(self, cos_d, sin_d, delta_tokens: int) -> "KVCache":
+        """Shift every cached key's implicit RoPE position down by
+        ``delta_tokens`` by rotating K rings with the constant per-feature
+        angle from :func:`..ops.rope.rope_rebase_tables` (shift
+        equivariance makes this exact — relative positions, and therefore
+        attention scores, are unchanged). V rings are un-rotated and
+        untouched. ``rope_offset`` drops by the same amount, so future
+        writes gather valid table rows forever: the unbounded-session
+        answer to a finite position table."""
+        from ..ops.rope import apply_rope
+
+        def rot(k, ks):
+            pos = jnp.zeros((k.shape[3],), jnp.int32)
+            if ks is not None:
+                kf = _dequantize_kv(k, ks).astype(jnp.float32)
+                out = apply_rope(kf, cos_d, sin_d, pos)
+                return _quantize_kv(out, ks.dtype)
+            return apply_rope(k, cos_d, sin_d, pos).astype(k.dtype), None
+
+        k, ks = rot(self.k, self.ks)
+        out = self.replace(
+            k=k, ks=ks, rope_offset=self.rope_offset - delta_tokens)
+        if self.split:
+            lk, lks = rot(self.lk, self.lks)
+            out = out.replace(lk=lk, lks=lks)
+        return out
+
     def gather_trailing(self, layer_idx: int, n_gather: int, local: bool):
         """(k, v, valid) of the trailing ``n_gather`` insertion-order
         tokens of a layer's ring — the decode-mode local-window read.
@@ -476,3 +503,63 @@ class KVCache:
             gk = _dequantize_kv(gk, sl(cks))
             gv = _dequantize_kv(gv, sl(cvs))
         return gk, gv, valid
+
+
+def rope_rebase_plan(config, cap_frames: int):
+    """Static plan for serve loops that outlive the RoPE table.
+
+    ``rope_offset`` is monotonic (reference semantics,
+    owl_wms/nn/kv_cache.py:50-56), so any finite position table
+    eventually saturates in a long session. The fix is a periodic exact
+    rebase: rotate cached keys by one constant per-feature angle
+    (shift equivariance, ops/rope.py rope_rebase_tables) and drop
+    rope_offset by the same frame count. Crucially the WHEN is host-
+    static — a loop that has generated ``i`` frames knows its offset —
+    so the per-frame fast path carries no rebase code at all (a
+    ``lax.cond`` in the decode tick measured -9% serve throughput: the
+    untaken branch still breaks the scan carry's in-place aliasing).
+
+    Returns ``(table_frames, delta_frames, rebase_fn)``:
+    * loops may write while ``offset_frames + 1 <= table_frames``;
+    * ``rebase_fn(cache)`` (jittable, pure) rotates the rings and drops
+      the offset by ``delta_frames`` — the largest rebase that keeps
+      post-rebase writes inside the table (cached keys' implicit
+      positions may go negative; nothing gathers them — keys store
+      their rotation — and relative offsets are exact);
+    * ``delta_frames < 1`` means the ring is at least as large as the
+      table and cannot rebase (reads past the edge clamp — raise
+      ``n_frames`` / ``rope_headroom`` to cover the ring instead).
+    """
+    from ..ops.rope import rope_table_for, rope_rebase_tables
+
+    tpf = config.tokens_per_frame
+    table_frames = rope_table_for(config).n_tokens // tpf
+    delta_frames = table_frames - cap_frames - 1
+    if delta_frames < 1:
+        return table_frames, 0, lambda cache: cache
+    cos_d, sin_d = rope_rebase_tables(config, delta_frames)
+
+    def rebase_fn(cache: KVCache) -> KVCache:
+        return cache.rebase_rope(cos_d, sin_d, delta_frames * tpf)
+
+    return table_frames, delta_frames, rebase_fn
+
+
+def rope_rebase_segments(init_frames: int, num_frames: int,
+                         table_frames: int, delta_frames: int):
+    """Scan segment lengths for a generation loop that writes one frame
+    per step starting from ``init_frames`` already written; callers run
+    ``rebase_fn`` between consecutive segments. One segment (the common
+    case — the whole run fits the table) means no rebase at all."""
+    if delta_frames < 1 or init_frames + num_frames <= table_frames:
+        return [num_frames]
+    segs = []
+    rem = num_frames
+    first = min(max(0, table_frames - init_frames), rem)
+    if first:
+        segs.append(first)
+        rem -= first
+    while rem > 0:
+        segs.append(min(delta_frames, rem))
+        rem -= delta_frames
+    return segs

@@ -57,6 +57,9 @@ class Linear(nn.Module):
         in_features = x.shape[-1]
         kernel_init = self.kernel_init or torch_linear_kernel_init
         kernel = self.param("kernel", kernel_init, (in_features, self.features))
+        if not hasattr(kernel, "astype"):  # serve-time int8 (nn/wquant.py)
+            from .wquant import dequantize_kernel
+            kernel = dequantize_kernel(kernel, self.dtype)
         y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype))
         if self.use_bias:
             bias_init = self.bias_init or torch_linear_bias_init(in_features)

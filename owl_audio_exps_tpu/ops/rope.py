@@ -42,29 +42,60 @@ def _lang_freqs(dim: int, theta: float) -> np.ndarray:
     return 1.0 / (theta ** (np.arange(0, dim, 2, dtype=np.float32)[: dim // 2] / dim))
 
 
-def _axial_freqs_pixel(dims, offsets, dim: int, max_freq: float) -> np.ndarray:
+def _axial_freqs_pixel(dims, offsets, dim: int, max_freq: float,
+                       ext0: int = 0) -> np.ndarray:
     """Axial broadcast-and-concat of per-axis angles, 'pixel' family.
 
     Per axis: pos = linspace(-1, 1, d) + offset; angles = pos x freqs,
     repeat-interleaved by 2 -> [d, dim]. Axes broadcast against each other
     and concatenate on the feature dim -> [*dims, n_axes * dim].
+
+    ``ext0`` extends axis 0 (time) by that many EXTRA positions continuing
+    the same per-step increment past +1 — decode headroom beyond the
+    training context (see _table_frames).
     """
     freqs = _pixel_freqs(dim, max_freq)
     per_axis = []
+    out_dims = (dims[0] + ext0,) + tuple(dims[1:])
     for ind, d in enumerate(dims):
+        n = d + (ext0 if ind == 0 else 0)
         if d == 1:
-            pos = np.array([-1.0], dtype=np.float32)
-        else:
+            pos = np.full((n,), -1.0, dtype=np.float32)
+        elif n == d:
             pos = np.linspace(-1.0, 1.0, d, dtype=np.float32)
+        else:
+            # linspace grid continued past +1 at the same per-step
+            # increment (the first d entries match np.linspace bitwise:
+            # same start + step*i arithmetic)
+            step = np.float32(2.0 / (d - 1))
+            pos = np.float32(-1.0) + step * np.arange(n, dtype=np.float32)
         pos = pos + (offsets[ind] if offsets is not None else 0.0)
-        ang = pos[:, None] * freqs[None, :]           # [d, dim//2]
-        ang = np.repeat(ang, 2, axis=-1)              # [d, dim]
+        ang = pos[:, None] * freqs[None, :]           # [n, dim//2]
+        ang = np.repeat(ang, 2, axis=-1)              # [n, dim]
         shape = [1] * len(dims) + [ang.shape[-1]]
-        shape[ind] = d
+        shape[ind] = n
         per_axis.append(ang.reshape(shape))
-    target = tuple(dims) + (per_axis[0].shape[-1],)
+    target = tuple(out_dims) + (per_axis[0].shape[-1],)
     per_axis = [np.broadcast_to(a, target) for a in per_axis]
     return np.concatenate(per_axis, axis=-1)
+
+
+def _table_frames(config) -> int:
+    """Frame rows the tables cover: ``n_frames`` + decode headroom.
+
+    Positions are gathered with mode="clip", so a position past the table
+    can never NaN — but within the headroom it stays EXACT. Headroom
+    covers decode past the training context (self-forcing rollouts roll
+    ``min_rollout_frames`` past the window; serve sessions advance the
+    monotonic ``rope_offset`` indefinitely — reference semantics,
+    owl_wms/nn/kv_cache.py:50-56). Default doubles the table (tables are
+    numpy fp32 constants — ~13 MB at the dit_v4 1536-frame config, so 2x
+    is noise); ``rope_headroom`` (frames) overrides.
+    """
+    headroom = config.get("rope_headroom")
+    if headroom is None:
+        headroom = config.n_frames
+    return config.n_frames + int(headroom)
 
 
 def ortho_freqs(config) -> np.ndarray:
@@ -75,16 +106,18 @@ def ortho_freqs(config) -> np.ndarray:
     """
     p = config.sample_size
     head_dim = config.d_model // config.n_heads
+    F = _table_frames(config)
     freqs = _axial_freqs_pixel(
         (config.n_frames, p + 1, p + 1, 1),
         offsets=(0.0, 0.0, 0.0, 1.0),
         dim=head_dim // 4,
         max_freq=256.0,
-    ).reshape(config.n_frames, p + 1, p + 1, -1)
+        ext0=F - config.n_frames,
+    ).reshape(F, p + 1, p + 1, -1)
 
-    vid = freqs[:, :p, :p].reshape(config.n_frames, p * p, -1)
+    vid = freqs[:, :p, :p].reshape(F, p * p, -1)
     aud = freqs[:, -1, -1][:, None, :]
-    out = np.concatenate([vid, aud], axis=1).reshape(config.n_frames * (p * p + 1), -1)
+    out = np.concatenate([vid, aud], axis=1).reshape(F * (p * p + 1), -1)
     return np.ascontiguousarray(out[..., ::2])  # undo the repeat-interleave
 
 
@@ -95,7 +128,7 @@ def motion_freqs(config) -> np.ndarray:
     Returns [n_frames * (H*W + 1), head_dim // 2] float32 angles.
     """
     H = W = config.sample_size
-    F = config.n_frames
+    F = _table_frames(config)
     d_head = config.d_model // config.n_heads
 
     dim_t = config.get("rope_dim_t", d_head * 2 // 8)
@@ -148,7 +181,7 @@ def audio1d_freqs(config) -> np.ndarray:
     """
     head_dim = config.d_model // config.n_heads
     freqs = _lang_freqs(head_dim, 10000.0)
-    pos = np.arange(config.n_frames, dtype=np.float32)
+    pos = np.arange(_table_frames(config), dtype=np.float32)
     return np.ascontiguousarray(pos[:, None] * freqs[None, :])
 
 
@@ -171,8 +204,8 @@ def get_rope_freqs(config) -> np.ndarray:
         raise ValueError(f"Invalid RoPE impl: {impl}")
     freqs = _ROPE_FREQS[impl](config)
     if not config.get("has_audio", False):
-        freqs = freqs.reshape(config.n_frames, -1, freqs.shape[-1])[:, :-1]
-        freqs = freqs.reshape(-1, freqs.shape[-1])
+        freqs = freqs.reshape(_table_frames(config), -1, freqs.shape[-1])
+        freqs = freqs[:, :-1].reshape(-1, freqs.shape[-1])
     return freqs
 
 
@@ -199,8 +232,13 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray,
     in_dtype = x.dtype
     d = x.shape[-1]
     f = cos.shape[-1]
-    c = jnp.take(cos, positions, axis=0)  # [t, F] fp32
-    s = jnp.take(sin, positions, axis=0)
+    # mode="clip": jnp.take's default fill mode writes NaN for any
+    # out-of-table position (found the hard way: a self-forcing rollout
+    # decoding one frame past n_frames NaN'd the whole trainer). Tables
+    # carry decode headroom past n_frames (_table_frames); beyond THAT,
+    # positions saturate at the last row instead of poisoning the model.
+    c = jnp.take(cos, positions, axis=0, mode="clip")  # [t, F] fp32
+    s = jnp.take(sin, positions, axis=0, mode="clip")
 
     # duplicate tables to the interleaved layout: [c0,c0,c1,c1,...] and
     # [-s0,+s0,-s1,+s1,...]
@@ -234,6 +272,27 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray,
     if 2 * f < d:
         out = jnp.concatenate([out, x[..., 2 * f:]], axis=-1)
     return out
+
+
+def rope_rebase_tables(config, delta_frames: int):
+    """(cos, sin) [1, F_rot] of the constant angle that rotates a cached
+    key from implicit frame position ``f`` to ``f - delta_frames``.
+
+    All three table families are SHIFT-EQUIVARIANT in time: a token's
+    angle is ``a_slot + b_feat * f`` (ortho/motion: the spatial axes are
+    f-independent, the time/diagonal axes are linear in f; audio1d is
+    linear outright), so the Δ-frame angle difference is one constant
+    vector shared by every slot and frame. Rotating the whole ring by its
+    negative re-bases every cached key EXACTLY — the group property of
+    rotations — which is what lets unbounded serve sessions keep exact
+    relative positions with a finite table (KVCache.rebase_rope /
+    rope_rebase_plan).
+    """
+    angles = get_rope_freqs(config)
+    per = angles.shape[0] // _table_frames(config)
+    delta = angles[0] - angles[delta_frames * per]   # NEGATIVE shift
+    return (np.cos(delta)[None, :].astype(np.float32),
+            np.sin(delta)[None, :].astype(np.float32))
 
 
 _SWAP_CACHE: dict = {}
@@ -281,7 +340,7 @@ def rope_table_for(config) -> RopeTable:
         config.d_model, config.n_heads, bool(config.get("has_audio", False)),
         config.get("rope_dim_t"), config.get("rope_dim_x"),
         config.get("rope_dim_y"), config.get("rope_base"),
-        config.get("rope_ats_delta"),
+        config.get("rope_ats_delta"), config.get("rope_headroom"),
     )
     if key not in _TABLE_CACHE:
         _TABLE_CACHE[key] = RopeTable(config)

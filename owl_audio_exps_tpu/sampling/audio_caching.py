@@ -18,7 +18,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..nn.kv_cache import KVCache
+from ..nn.kv_cache import (KVCache, rope_rebase_plan,
+                           rope_rebase_segments)
 from .schedulers import resolve_schedule, scan_or_unroll
 from .common import zlerp, JitCache
 
@@ -100,7 +101,20 @@ class AudioCachingSampler:
                                   write=True, decoding=True)
             return (cache, rng), cur[:, 0]
 
-        (_, _), tokens = jax.lax.scan(gen_step, (cache, rng), None,
-                                      length=self.num_tokens)
+        # sessions longer than the RoPE table: scan in segments with an
+        # exact ring rebase between them (rope_rebase_plan — the rebase
+        # is OUTSIDE the scan so the per-token fast path is untouched;
+        # one segment, i.e. zero rebase code, in the common case)
+        table_f, delta_f, rebase = rope_rebase_plan(core.config, capacity)
+        segs = rope_rebase_segments(init_len, self.num_tokens,
+                                    table_f, delta_f)
+        carry, chunks = (cache, rng), []
+        for si, seg in enumerate(segs):
+            if si:
+                carry = (rebase(carry[0]), carry[1])
+            carry, toks = jax.lax.scan(gen_step, carry, None, length=seg)
+            chunks.append(toks)
+        tokens = (jnp.concatenate(chunks, axis=0) if len(chunks) > 1
+                  else chunks[0])
         tokens = jnp.transpose(tokens, (1, 0, 2))  # [b, num_tokens, c]
         return jnp.concatenate([x, tokens], axis=1)

@@ -22,7 +22,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..nn.kv_cache import KVCache
+from ..nn.kv_cache import (KVCache, rope_rebase_plan,
+                           rope_rebase_segments)
 from .schedulers import resolve_schedule, scan_or_unroll
 from .common import zlerp, JitCache
 
@@ -190,10 +191,21 @@ class AVCachingSamplerV2:
         cache = KVCache.from_config(core.config, b, capacity_frames=capacity,
                                     dtype=x.dtype)
         cache, rng = prefill(params, cache, x, mouse, btn, rng)
+        # host drives the loop, so it KNOWS the write offset — rebase is
+        # a separate (rare) jitted call between ticks, never inside the
+        # per-tick fast path. Un-donated: its fresh output feeds the
+        # donating tick exactly like prefill's does.
+        table_f, delta_f, rebase = rope_rebase_plan(core.config, capacity)
+        rebase_jit = jax.jit(rebase) if delta_f >= 1 else None
+        off = init_len
         frames = []
         for i in range(num_frames):
+            if rebase_jit is not None and off + 1 > table_f:
+                cache = rebase_jit(cache)
+                off -= delta_f
             cache, rng, cur = tick(params, cache, rng, mouse, btn,
                                    np.int32(i))
+            off += 1
             frames.append(cur)
         out = jnp.concatenate([x, jnp.stack(frames, axis=1)], axis=1)
         return out
@@ -252,8 +264,22 @@ class AVCachingSamplerV2:
                                   kv_cache=cache, write=True, decoding=True)
             return (cache, rng), cur[:, 0]
 
-        (_, _), frames = jax.lax.scan(
-            gen_step, (cache, rng), jnp.arange(num_frames, dtype=jnp.int32))
+        # sessions longer than the RoPE table: scan in segments with an
+        # exact ring rebase between them (rope_rebase_plan) — the rebase
+        # stays OUTSIDE the scan so the per-frame fast path is untouched
+        table_f, delta_f, rebase = rope_rebase_plan(core.config, capacity)
+        segs = rope_rebase_segments(init_len, num_frames, table_f, delta_f)
+        carry, chunks, idx0 = (cache, rng), [], 0
+        for si, seg in enumerate(segs):
+            if si:
+                carry = (rebase(carry[0]), carry[1])
+            carry, fr = jax.lax.scan(
+                gen_step, carry,
+                jnp.arange(idx0, idx0 + seg, dtype=jnp.int32))
+            chunks.append(fr)
+            idx0 += seg
+        frames = (jnp.concatenate(chunks, axis=0) if len(chunks) > 1
+                  else chunks[0])
         frames = jnp.transpose(frames, (1, 0, 2, 3, 4))
         return jnp.concatenate([x, frames], axis=1)
 

@@ -32,6 +32,9 @@ mouse = jnp.asarray(rs.randn(1, total, 2), jnp.bfloat16)
 btn = jnp.asarray(rs.rand(1, total, 11) > 0.5, jnp.bfloat16)
 t0 = jnp.zeros((1, init_len), jnp.bfloat16)
 params = core.init(jax.random.key(0), x, t0, mouse[:, :init_len], btn[:, :init_len])
+if os.environ.get("OWL_PARAM_QUANT") == "int8":
+    from owl_audio_exps_tpu.nn.wquant import quantize_params_int8
+    params = {"params": quantize_params_int8(params["params"])}
 
 sampler = AVCachingSamplerV2(n_steps=STEPS, cfg_scale=1.0, num_frames=N_GEN,
                              noise_prev=0.2, max_window=CAP_FRAMES,

@@ -91,6 +91,29 @@ def test_sforce_rollout_grad_flows(tmp_path):
         "most params should receive gradient through the final step"
 
 
+def test_sforce_rollout_past_n_frames_finite(tmp_path):
+    """Regression: rollouts decode PAST the training context — with
+    window_length == n_frames the rollout frames sit at RoPE positions
+    beyond the table, where jnp.take's default fill mode wrote NaN
+    (caught by the on-chip trainer check, scripts/tpu_distill_check.py).
+    Tables now carry decode headroom and clamp instead."""
+    cfg = distill_cfg(tmp_path, "sforce_vid")
+    cfg.model.n_frames = 4          # == data window_length
+    cfg.train.data_kwargs["window_length"] = 4
+    trainer = get_trainer_cls("sforce_vid")(cfg)
+    state = trainer.init_distill_state(trainer.example_args())
+
+    rs = np.random.RandomState(0)
+    vid = jnp.asarray(rs.randn(2, 4, 4, 2, 2), jnp.bfloat16)
+    mouse = jnp.asarray(rs.randn(2, 4, 2), jnp.bfloat16)
+    btn = jnp.asarray(rs.rand(2, 4, 3) > 0.5, jnp.bfloat16)
+    rollout, *_ = jax.jit(lambda p, r: trainer.get_rollouts(
+        p, vid, mouse, btn, r, with_grad=False))(
+        state.student_params, jax.random.key(0))
+    assert np.isfinite(np.asarray(rollout, np.float32)).all(), \
+        "rollout past n_frames produced non-finite frames"
+
+
 def test_prune_indices():
     assert prune_layer_indices(8, 4) == [0, 2, 5, 7]
     assert prune_layer_indices(4, 4) == [0, 1, 2, 3]

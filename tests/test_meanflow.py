@@ -55,8 +55,9 @@ def test_meanflow_loss_and_grad():
                          "noise": jax.random.key(1)}, x, audio, mouse, btn)
 
     def loss_fn(p):
-        return model.apply({"params": p["params"]}, x, audio, mouse, btn,
-                           rngs={"noise": jax.random.key(2)})
+        loss, _, _ = model.apply({"params": p["params"]}, x, audio, mouse,
+                                 btn, rngs={"noise": jax.random.key(2)})
+        return loss
 
     loss, grads = jax.jit(jax.value_and_grad(loss_fn))(params)
     assert np.isfinite(float(loss)) and float(loss) > 0

@@ -33,7 +33,9 @@ def test_freq_families():
 
 @pytest.mark.parametrize("impl", ["ortho", "motion", "audio1d"])
 def test_freq_table_shapes(impl):
-    cfg = make_cfg(rope_impl=impl)
+    # tables carry decode headroom (default doubles n_frames); pin it to 0
+    # here so the shape contract stays explicit
+    cfg = make_cfg(rope_impl=impl, rope_headroom=0)
     freqs = get_rope_freqs(cfg)
     head_dim = cfg.d_model // cfg.n_heads
     if impl == "audio1d":
@@ -45,16 +47,52 @@ def test_freq_table_shapes(impl):
     assert freqs.dtype == np.float32
 
 
+@pytest.mark.parametrize("impl", ["ortho", "motion", "audio1d"])
+def test_headroom_extends_table_prefix_unchanged(impl):
+    """Decode headroom (rope_headroom / _table_frames) appends rows past
+    n_frames; the first n_frames' angles must be unchanged so cached
+    rotations and checksums are headroom-invariant."""
+    cfg0 = make_cfg(rope_impl=impl, rope_headroom=0)
+    cfg2 = make_cfg(rope_impl=impl, rope_headroom=8)
+    f0 = get_rope_freqs(cfg0)
+    f2 = get_rope_freqs(cfg2)
+    per_frame = f0.shape[0] // cfg0.n_frames
+    assert f2.shape[0] == f0.shape[0] + 8 * per_frame
+    # extension uses start + step*arange (vs np.linspace's endpoint-exact
+    # arithmetic): identical grid up to f32 ulps on ~400-magnitude angles
+    np.testing.assert_allclose(f2[: f0.shape[0]], f0, rtol=1e-6, atol=1e-4)
+
+
+def test_out_of_table_positions_clamp_not_nan():
+    """jnp.take's default fill mode writes NaN for out-of-bounds gathers —
+    regression for the self-forcing rollout NaN (decode one frame past
+    n_frames poisoned the trainer). Past the headroom, positions must
+    clamp to the last row, never NaN."""
+    cfg = make_cfg(rope_headroom=0)
+    table = rope_table_for(cfg)
+    rng = np.random.RandomState(9)
+    x = jnp.asarray(np.tile(rng.randn(1, 4, 1, 16).astype(np.float32),
+                            (1, 1, 3, 1)))
+    far = jnp.asarray([table.n_tokens - 1, table.n_tokens,
+                       table.n_tokens + 1000], jnp.int32)
+    y = np.asarray(apply_rope(x, table.cos, table.sin, far))
+    assert np.isfinite(y).all()
+    # clamped rows rotate identically to the last table row
+    np.testing.assert_allclose(y[:, :, 1], y[:, :, 0], rtol=1e-6)
+    np.testing.assert_allclose(y[:, :, 2], y[:, :, 0], rtol=1e-6)
+
+
 def test_audio_slot_removed_without_audio():
     cfg_a = make_cfg(has_audio=True)
     cfg_v = make_cfg(has_audio=False)
     fa = get_rope_freqs(cfg_a)
     fv = get_rope_freqs(cfg_v)
     p2 = cfg_a.sample_size ** 2
-    assert fv.shape[0] == cfg_a.n_frames * p2
+    frames = 2 * cfg_a.n_frames  # default headroom doubles the table
+    assert fv.shape[0] == frames * p2
     # video slots identical; only the per-frame audio slot is dropped
-    fa_frames = fa.reshape(cfg_a.n_frames, p2 + 1, -1)
-    np.testing.assert_allclose(fv.reshape(cfg_a.n_frames, p2, -1),
+    fa_frames = fa.reshape(frames, p2 + 1, -1)
+    np.testing.assert_allclose(fv.reshape(frames, p2, -1),
                                fa_frames[:, :-1], rtol=0, atol=0)
 
 
@@ -113,8 +151,11 @@ def test_offset_equals_slice():
 ])
 def test_deterministic_checksum(impl, expected):
     """Seeded checksum regression (reference sanity/rope_test.py:74-93 idiom):
-    locks the freq-table math so refactors can't silently change it."""
-    cfg = make_cfg(rope_impl=impl)
+    locks the freq-table math so refactors can't silently change it.
+    headroom=0 keeps the table exactly the historical shape the expected
+    values were recorded against (the prefix-invariance test above covers
+    the extended tables)."""
+    cfg = make_cfg(rope_impl=impl, rope_headroom=0)
     freqs = get_rope_freqs(cfg)
     checksum = float(np.sum(np.cos(freqs)) + np.sum(np.sin(freqs)))
     assert np.isclose(checksum, expected, rtol=1e-5)
