@@ -291,3 +291,101 @@ class CachedStreamingPipeline:
             frame = frame_lat[:, 0]
         jax.block_until_ready(frame)
         return frame, None, time.perf_counter() - t0
+
+
+class AVCachedStreamingPipeline(CachedStreamingPipeline):
+    """KV-cached real-time serve for the joint AV model (GameRFTAudioCore).
+
+    The reference has no cached AV serve: its interactive loop
+    (inference/causvid_pipeline.py:112-163) recomputes the whole window
+    per tick for video AND audio. Here each tick denoises one
+    (frame, audio-latent) pair against the ring cache — sampling_steps
+    cached single-frame calls, then one write-forward re-encoding the
+    clean pair at noise_prev (tokens_per_frame = sample_size**2 + 1
+    query tokens per call against the ring). Same RoPE-rebase discipline
+    as the video pipeline, so sessions are unbounded.
+    """
+
+    def __init__(self, core, params, config, audio_decode_fn=None,
+                 audio_scale: float = 1.0, **kw):
+        super().__init__(core, params, config, **kw)
+        self.audio_decode_fn = audio_decode_fn
+        self.audio_scale = audio_scale
+
+    def prime(self, ctx_latents, ctx_audio, ctx_mouse, ctx_btn):
+        """Warm-start: cache a (video, audio) context clip at noise_prev."""
+        rng, r_v, r_a = jax.random.split(self.rng, 3)
+        self.rng = rng
+
+        def noise_to(x, r):
+            z = jax.random.normal(r, x.shape, jnp.float32)
+            return (x.astype(jnp.float32) * (1.0 - self.noise_prev)
+                    + z * self.noise_prev).astype(jnp.bfloat16)
+
+        noisy_v = noise_to(ctx_latents, r_v)
+        noisy_a = noise_to(ctx_audio, r_a)
+        t = jnp.full(ctx_latents.shape[:2], self.noise_prev, jnp.bfloat16)
+        _, self.cache = jax.jit(
+            lambda p, c: self.core.apply(p, noisy_v, noisy_a, t, ctx_mouse,
+                                         ctx_btn, kv_cache=c, write=True))(
+            self.params, self.cache)
+        self._off_frames += ctx_latents.shape[1]
+
+    def _make_tick(self, n_steps: int):
+        core, params, alpha = self.core, self.params, self.noise_prev
+        c = self.config
+        dt = self._resolve(n_steps, [1.0, 0.5] if n_steps == 2 else None)
+
+        def tick(cache, rng, mouse1, btn1):
+            rng, r_v, r_a, r_nv, r_na = jax.random.split(rng, 5)
+            cur_v = jax.random.normal(
+                r_v, (1, 1, c.channels, c.sample_size, c.sample_size),
+                jnp.float32).astype(jnp.bfloat16)
+            cur_a = jax.random.normal(r_a, (1, 1, c.audio_channels),
+                                      jnp.float32).astype(jnp.bfloat16)
+            t = jnp.ones((1, 1), jnp.bfloat16)
+            for i in range(n_steps):
+                (pv, pa), _ = core.apply(params, cur_v, cur_a, t, mouse1,
+                                         btn1, kv_cache=cache, decoding=True)
+                cur_v = (cur_v.astype(jnp.float32) - float(dt[i])
+                         * pv.astype(jnp.float32)).astype(cur_v.dtype)
+                cur_a = (cur_a.astype(jnp.float32) - float(dt[i])
+                         * pa.astype(jnp.float32)).astype(cur_a.dtype)
+                t = (t.astype(jnp.float32) - float(dt[i])).astype(t.dtype)
+            zv = jax.random.normal(r_nv, cur_v.shape, jnp.float32)
+            za = jax.random.normal(r_na, cur_a.shape, jnp.float32)
+            noisy_v = (cur_v.astype(jnp.float32) * (1.0 - alpha)
+                       + zv * alpha).astype(cur_v.dtype)
+            noisy_a = (cur_a.astype(jnp.float32) * (1.0 - alpha)
+                       + za * alpha).astype(cur_a.dtype)
+            _, cache = core.apply(params, noisy_v, noisy_a,
+                                  jnp.full_like(t, alpha), mouse1, btn1,
+                                  kv_cache=cache, write=True, decoding=True)
+            return cache, rng, cur_v, cur_a
+
+        return jax.jit(tick, donate_argnums=(0,))
+
+    def __call__(self, new_mouse, new_btn):
+        n = self.sampling_steps
+        if n not in self._ticks:
+            self._ticks[n] = self._make_tick(n)
+        t0 = time.perf_counter()
+        if self._rebase is not None and self._off_frames + 1 > self._table_f:
+            self.cache = self._rebase(self.cache)
+            self._off_frames -= self._delta_f
+        m1 = jnp.asarray(new_mouse, jnp.bfloat16)[None, None, :]
+        b1 = jnp.asarray(np.asarray(new_btn, np.float32),
+                         jnp.bfloat16)[None, None, :]
+        self.cache, self.rng, frame_lat, audio_lat = self._ticks[n](
+            self.cache, self.rng, m1, b1)
+        self._off_frames += 1
+        if self.frame_decode_fn is not None:
+            frame = self.frame_decode_fn(frame_lat * self.image_scale)[0]
+        else:
+            frame = frame_lat[:, 0]
+        if self.audio_decode_fn is not None:
+            audio = self.audio_decode_fn(audio_lat * self.audio_scale)
+        else:
+            audio = audio_lat[:, 0]
+        jax.block_until_ready(frame)
+        return frame, audio, time.perf_counter() - t0

@@ -26,11 +26,14 @@ Design (TPU-idiomatic, not a port — there is nothing to port):
   carried), keeping the live set at one activation + the emitted slice
   instead of a carried [M, ...] buffer.
 
-Composition rules: ``pipe`` composes with ``data`` (batch stays sharded
-inside the shard_map region — attention and matmuls are batch-local).
-``fsdp``/``tensor``/``seq`` must be 1 when the pipeline is engaged:
-inside shard_map there is no GSPMD propagation, so a tensor-sharded
-weight would silently produce partial matmul products. Enforced loudly.
+Composition rules: the shard_map is PARTIAL-MANUAL — manual over
+``pipe`` and ``data`` only (``axis_names``), so ``tensor`` and ``fsdp``
+stay under GSPMD *inside* the stage program: a tensor-sharded qkv/MLP
+weight gets its psum inserted by the partitioner exactly as in the
+non-pipelined path, and fsdp-sharded weights are all-gathered on use.
+``seq`` must still be 1 (context parallelism is itself a manual
+shard_map over ``seq`` — parallel/context.py — and cannot nest inside
+this one). Enforced loudly.
 
 Bubble fraction is the standard (K-1)/(T); raise
 ``model.pipeline_microbatches`` to amortize.
@@ -43,9 +46,8 @@ from typing import Callable, Optional
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
 
-from .mesh import AXIS_DATA, AXIS_FSDP, AXIS_TENSOR, AXIS_SEQ, AXIS_PIPE
+from .mesh import AXIS_DATA, AXIS_SEQ, AXIS_PIPE
 
 
 def pipeline_ok(mesh: Mesh) -> bool:
@@ -78,12 +80,11 @@ def pipeline_apply(
     """
     K = mesh.shape[AXIS_PIPE]
     M = int(microbatches)
-    for axis in (AXIS_FSDP, AXIS_TENSOR, AXIS_SEQ):
-        assert mesh.shape.get(axis, 1) == 1, (
-            f"pipeline_parallel composes with data only; mesh axis "
-            f"'{axis}' has size {mesh.shape[axis]} (shard_map has no "
-            "GSPMD propagation — tensor/fsdp-sharded weights would "
-            "produce partial products inside a stage)")
+    assert mesh.shape.get(AXIS_SEQ, 1) == 1, (
+        f"pipeline_parallel cannot compose with seq="
+        f"{mesh.shape[AXIS_SEQ]}: context parallelism is its own manual "
+        "shard_map over 'seq' (parallel/context.py) and cannot nest "
+        "inside the pipeline's shard_map region")
 
     n_groups = jax.tree.leaves(stacked_params)[0].shape[0]
     assert n_groups % K == 0, (
@@ -98,6 +99,24 @@ def pipeline_apply(
     bspec = AXIS_DATA if dp > 1 else None
     xspec = P(bspec, None, None)
     cspec = P(bspec, None, None)
+    # XLA:CPU-only workaround: the bf16 all-reduce promotion pass
+    # (ChangeOpDataType/CloneAllReduce) CHECK-fails on the copy-rooted
+    # reduction regions Shardy leaves inside partial-manual shard_map
+    # psums, and the transpose-inserted param-grad psums over 'data' run
+    # in the param dtype. Upcasting params at the boundary makes those
+    # psums f32 (which the pass skips); the cast back inside stage_prog
+    # keeps the compute math identical. TPU has no such pass and keeps
+    # the bf16 boundary.
+    param_dtypes = jax.tree.map(lambda l: l.dtype, stacked_params)
+    x_dtype, cond_dtype = x.dtype, cond.dtype
+    cpu_f32_boundary = jax.default_backend() == "cpu"
+    if cpu_f32_boundary:
+        stacked_params = jax.tree.map(
+            lambda l: l.astype(jnp.float32)
+            if l.dtype == jnp.bfloat16 else l, stacked_params)
+        # x/cond are replicated over pipe at entry, so their cotangents
+        # psum over pipe in the boundary dtype — route those via f32 too
+        x, cond = x.astype(jnp.float32), cond.astype(jnp.float32)
     pspec = jax.tree.map(
         lambda l: P(AXIS_PIPE, *([None] * (l.ndim - 1))), stacked_params)
     mask_args = tuple(m for m in (local_mask, global_mask) if m is not None)
@@ -105,6 +124,11 @@ def pipeline_apply(
     mspecs = tuple(P() for _ in mask_args)
 
     def stage_prog(sparams, x_loc, cond_loc, *masks):
+        if cpu_f32_boundary:
+            sparams = jax.tree.map(
+                lambda l, d: l.astype(d), sparams, param_dtypes)
+            x_loc = x_loc.astype(x_dtype)
+            cond_loc = cond_loc.astype(cond_dtype)
         it = iter(masks)
         lmask = next(it) if mask_slots[0] else None
         gmask = next(it) if mask_slots[1] else None
@@ -140,11 +164,21 @@ def pipeline_apply(
         # last stage finished microbatch m at tick m + K - 1
         out = ys[K - 1:K - 1 + M].reshape(b, L, D)
         out = jnp.where(s == K - 1, out, jnp.zeros_like(out))
-        # replicate the result along pipe (only the last stage holds it)
-        return jax.lax.psum(out, AXIS_PIPE)
+        # Replicate the result along pipe (only the last stage holds it).
+        # The psum (and its transpose in the bwd pass) runs in f32:
+        # XLA:CPU's bf16 all-reduce promotion pass (ChangeOpDataType /
+        # CloneAllReduce) CHECK-fails on the all-reduce this partial-
+        # manual region produces under grad, and the f32 round-trip on
+        # one output slice is free next to the stage matmuls.
+        return jax.lax.psum(
+            out.astype(jnp.float32), AXIS_PIPE).astype(out.dtype)
 
-    fn = shard_map(
+    # Partial-manual: only pipe/data are manual axes; tensor and fsdp
+    # remain auto, so GSPMD propagates their shardings (and inserts the
+    # tensor-parallel psums) inside each stage's group program.
+    fn = jax.shard_map(
         stage_prog, mesh=mesh,
         in_specs=(pspec, xspec, cspec) + mspecs,
-        out_specs=xspec, check_rep=False)
+        out_specs=xspec, axis_names={AXIS_PIPE, AXIS_DATA},
+        check_vma=False)
     return fn(stacked_params, x, cond, *mask_args)

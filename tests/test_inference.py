@@ -95,3 +95,39 @@ def test_cached_streaming_pipeline():
         assert frame.shape == (1, 4, 2, 2)
         assert np.isfinite(np.asarray(frame, np.float32)).all()
     assert int(pipe.cache.length) <= 8 * 4
+
+
+def test_av_cached_streaming_pipeline():
+    """KV-cached joint AV serve: frame + audio latent per tick, ring
+    eviction past capacity, unbounded via rope rebase (no reference
+    analogue — its AV serve recomputes the whole window per tick)."""
+    sys.path.insert(0, "inference")
+    from pipeline import AVCachedStreamingPipeline
+
+    cfg = transformer_config(
+        model_id="game_rft_audio", n_layers=2, n_heads=2, d_model=32,
+        channels=4, audio_channels=4, sample_size=2, tokens_per_frame=5,
+        n_frames=8, n_buttons=3, causal=True, uncond=False, has_audio=True,
+        rope_impl="ortho", local_window=2, global_window=None, cfg_prob=0.0)
+    core = GameRFTAudioCore(cfg, dtype=jnp.bfloat16)
+    x = jnp.zeros((1, 3, 4, 2, 2), jnp.bfloat16)
+    a = jnp.zeros((1, 3, 4), jnp.bfloat16)
+    t = jnp.zeros((1, 3), jnp.bfloat16)
+    m = jnp.zeros((1, 3, 2), jnp.bfloat16)
+    b = jnp.zeros((1, 3, 3), jnp.bfloat16)
+    params = core.init(jax.random.key(0), x, a, t, m, b)
+
+    pipe = AVCachedStreamingPipeline(core, params, cfg, window_frames=6,
+                                     sampling_steps=2)
+    pipe.prime(x, a, m, b)
+    assert int(pipe.cache.length) == 3 * 5  # 3 frames x 5 tokens
+
+    # run well past both the ring capacity AND the RoPE table horizon
+    # (n_frames=8 + headroom) so eviction and rebase both execute
+    for i in range(20):
+        frame, audio, _ = pipe(np.zeros(2), np.zeros(3))
+        assert frame.shape == (1, 4, 2, 2)
+        assert audio.shape == (1, 4)
+        assert np.isfinite(np.asarray(frame, np.float32)).all()
+        assert np.isfinite(np.asarray(audio, np.float32)).all()
+    assert int(pipe.cache.length) <= 6 * 5

@@ -91,19 +91,72 @@ def test_pipelined_gradients_match_scan():
                                    atol=5e-5, rtol=5e-5)
 
 
-def test_pipeline_requires_clean_mesh():
-    """tensor/fsdp/seq > 1 must be rejected loudly (no silent partial
-    matmul products inside a stage)."""
+def test_pipeline_rejects_seq():
+    """seq > 1 must be rejected loudly (context parallelism is its own
+    manual shard_map and cannot nest inside the pipeline region)."""
     from owl_audio_exps_tpu.parallel.pipeline import pipeline_apply
     try:
-        mesh = make_mesh(MeshConfig(data=2, tensor=2, pipe=2),
+        mesh = make_mesh(MeshConfig(data=2, seq=2, pipe=2),
                          devices=jax.devices()[:8])
         stacked = {"w": jnp.zeros((2, 4, 4))}
         x = jnp.zeros((4, 8, 4))
         cond = jnp.zeros((4, 8, 4))
-        with pytest.raises(AssertionError, match="pipeline_parallel"):
+        with pytest.raises(AssertionError, match="seq"):
             pipeline_apply(mesh, stacked, x, cond, None, None,
                            lambda gp, h, c, lm, gm: h, 2)
+    finally:
+        make_mesh(MeshConfig())
+
+
+@pytest.mark.parametrize("axes", [
+    {"data": 2, "tensor": 2, "pipe": 2},
+    {"fsdp": 2, "tensor": 2, "pipe": 2},
+    {"data": 2, "fsdp": 2, "pipe": 2},
+])
+def test_pipelined_forward_and_grads_compose_tensor_fsdp(axes):
+    """pipe x tensor / pipe x fsdp composition: the shard_map is manual
+    over pipe+data only, so GSPMD propagates tensor/fsdp shardings (and
+    inserts the row-parallel psums) inside each stage. Forward and grads
+    must match the unsharded sequential scan, with params genuinely
+    sharded by the path rules."""
+    from owl_audio_exps_tpu.parallel.sharding import shard_params
+
+    cfg_s = _cfg(False)
+    cfg_p = _cfg(True)
+    cfg_p.pipeline_microbatches = 2
+
+    core_s = AudioRFTCore(cfg_s, dtype=F32)
+    core_p = AudioRFTCore(cfg_p, dtype=F32)
+    rs = np.random.RandomState(2)
+    B = 4
+    x = jnp.asarray(rs.randn(B, 12, 8), F32)
+    t = jnp.asarray(rs.rand(B, 12), F32)
+    params = core_s.init(jax.random.key(0), x, t)["params"]
+
+    def loss(core):
+        def f(p):
+            out, _ = core.apply({"params": p}, x, t)
+            return jnp.mean(out.astype(jnp.float32) ** 2)
+        return f
+
+    want = jax.jit(lambda p: core_s.apply({"params": p}, x, t)[0])(params)
+    g_want = jax.jit(jax.grad(loss(core_s)))(params)
+    try:
+        mesh = make_mesh(MeshConfig(**axes))
+        sharded = shard_params(params, mesh)
+        # sanity: at least one qkv kernel is sharded over tensor/fsdp
+        flat = jax.tree_util.tree_flatten_with_path(sharded)[0]
+        assert any(
+            leaf.addressable_shards[0].data.shape != leaf.shape
+            for _, leaf in flat), "path rules sharded nothing"
+        got = jax.jit(lambda p: core_p.apply({"params": p}, x, t)[0])(
+            sharded)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5, rtol=2e-5)
+        g_got = jax.jit(jax.grad(loss(core_p)))(sharded)
+        for a, b in zip(jax.tree.leaves(g_got), jax.tree.leaves(g_want)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-5, rtol=5e-5)
     finally:
         make_mesh(MeshConfig())
 
