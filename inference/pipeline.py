@@ -109,9 +109,13 @@ class CausvidPipeline:
 
     # ------------------------------------------------------------- tick
     def _make_tick(self, n_steps: int):
-        core, params, alpha, W = self.core, self.params, self.alpha, self.W
+        # params enter as a jit argument, never a closure capture: a
+        # closed-over param tree is inlined into the lowered HLO as
+        # literals, which balloons the program shipped to the compiler
+        # (the axon relay rejects it outright at flagship scale)
+        core, alpha, W = self.core, self.alpha, self.W
 
-        def tick(buffers: StreamBuffers, new_mouse, new_btn):
+        def tick(params, buffers: StreamBuffers, new_mouse, new_btn):
             rng, r_h, r_a, r_nh, r_na = jax.random.split(buffers.rng, 5)
 
             def zl(r, x):
@@ -162,7 +166,7 @@ class CausvidPipeline:
                 mouse=mouse, button=button, rng=rng)
             return out, new_frame[0], new_audio[0]
 
-        return jax.jit(tick, donate_argnums=(0,))
+        return jax.jit(tick, donate_argnums=(1,))
 
     def __call__(self, new_mouse, new_btn):
         """new_mouse: [2] floats; new_btn: [n_buttons] bools.
@@ -176,7 +180,7 @@ class CausvidPipeline:
             self._ticks[n] = self._make_tick(n)
         t0 = time.perf_counter()
         self.buffers, frame_lat, audio_lat = self._ticks[n](
-            self.buffers,
+            self.params, self.buffers,
             jnp.asarray(new_mouse, jnp.bfloat16),
             jnp.asarray(np.asarray(new_btn, dtype=np.float32),
                         jnp.bfloat16))
@@ -231,25 +235,37 @@ class CachedStreamingPipeline:
         self._off_frames = 0
 
     def prime(self, ctx_latents, ctx_mouse, ctx_btn):
-        """Warm-start: cache a context clip at noise_prev."""
+        """Warm-start: cache a context clip at noise_prev.
+
+        The noise prep lives INSIDE the one jitted program: each eager
+        op is a separate executable, and on the remote-compile relay a
+        handful of eager nicety ops costs more wall clock than the
+        whole model forward's compile.
+        """
         rng, r = jax.random.split(self.rng)
         self.rng = rng
-        z = jax.random.normal(r, ctx_latents.shape, jnp.float32)
-        noisy = (ctx_latents.astype(jnp.float32) * (1 - self.noise_prev)
-                 + z * self.noise_prev).astype(jnp.bfloat16)
-        t = jnp.full(ctx_latents.shape[:2], self.noise_prev, jnp.bfloat16)
-        _, self.cache = jax.jit(
-            lambda p, c: self.core.apply(p, noisy, t, ctx_mouse, ctx_btn,
-                                         kv_cache=c, write=True))(
-            self.params, self.cache)
+        alpha = self.noise_prev
+
+        def _prime(p, c, lat, mouse, btn, key):
+            z = jax.random.normal(key, lat.shape, jnp.float32)
+            noisy = (lat.astype(jnp.float32) * (1.0 - alpha)
+                     + z * alpha).astype(jnp.bfloat16)
+            t = jnp.full(lat.shape[:2], alpha, jnp.bfloat16)
+            return self.core.apply(p, noisy, t, mouse, btn,
+                                   kv_cache=c, write=True)
+
+        _, self.cache = jax.jit(_prime)(
+            self.params, self.cache, ctx_latents, ctx_mouse, ctx_btn, r)
         self._off_frames += ctx_latents.shape[1]
 
     def _make_tick(self, n_steps: int):
-        core, params, alpha = self.core, self.params, self.noise_prev
+        # params as a jit argument, not a closure capture (see
+        # CausvidPipeline._make_tick)
+        core, alpha = self.core, self.noise_prev
         c = self.config
         dt = self._resolve(n_steps, [1.0, 0.5] if n_steps == 2 else None)
 
-        def tick(cache, rng, mouse1, btn1):
+        def tick(params, cache, rng, mouse1, btn1):
             rng, r_init, r_renoise = jax.random.split(rng, 3)
             cur = jax.random.normal(
                 r_init, (1, 1, c.channels, c.sample_size, c.sample_size),
@@ -269,7 +285,7 @@ class CachedStreamingPipeline:
                                   write=True, decoding=True)
             return cache, rng, cur
 
-        return jax.jit(tick, donate_argnums=(0,))
+        return jax.jit(tick, donate_argnums=(1,))
 
     def __call__(self, new_mouse, new_btn):
         n = self.sampling_steps
@@ -283,7 +299,7 @@ class CachedStreamingPipeline:
         b1 = jnp.asarray(np.asarray(new_btn, np.float32),
                          jnp.bfloat16)[None, None, :]
         self.cache, self.rng, frame_lat = self._ticks[n](
-            self.cache, self.rng, m1, b1)
+            self.params, self.cache, self.rng, m1, b1)
         self._off_frames += 1
         if self.frame_decode_fn is not None:
             frame = self.frame_decode_fn(frame_lat * self.image_scale)[0]
@@ -313,30 +329,40 @@ class AVCachedStreamingPipeline(CachedStreamingPipeline):
         self.audio_scale = audio_scale
 
     def prime(self, ctx_latents, ctx_audio, ctx_mouse, ctx_btn):
-        """Warm-start: cache a (video, audio) context clip at noise_prev."""
+        """Warm-start: cache a (video, audio) context clip at noise_prev.
+
+        One jitted program end-to-end (noise prep included) — see
+        CachedStreamingPipeline.prime for why.
+        """
         rng, r_v, r_a = jax.random.split(self.rng, 3)
         self.rng = rng
+        alpha = self.noise_prev
 
-        def noise_to(x, r):
-            z = jax.random.normal(r, x.shape, jnp.float32)
-            return (x.astype(jnp.float32) * (1.0 - self.noise_prev)
-                    + z * self.noise_prev).astype(jnp.bfloat16)
+        def _prime(p, c, lat_v, lat_a, mouse, btn, kv, ka):
+            def noise_to(x, r):
+                z = jax.random.normal(r, x.shape, jnp.float32)
+                return (x.astype(jnp.float32) * (1.0 - alpha)
+                        + z * alpha).astype(jnp.bfloat16)
 
-        noisy_v = noise_to(ctx_latents, r_v)
-        noisy_a = noise_to(ctx_audio, r_a)
-        t = jnp.full(ctx_latents.shape[:2], self.noise_prev, jnp.bfloat16)
-        _, self.cache = jax.jit(
-            lambda p, c: self.core.apply(p, noisy_v, noisy_a, t, ctx_mouse,
-                                         ctx_btn, kv_cache=c, write=True))(
-            self.params, self.cache)
+            noisy_v = noise_to(lat_v, kv)
+            noisy_a = noise_to(lat_a, ka)
+            t = jnp.full(lat_v.shape[:2], alpha, jnp.bfloat16)
+            return self.core.apply(p, noisy_v, noisy_a, t, mouse, btn,
+                                   kv_cache=c, write=True)
+
+        _, self.cache = jax.jit(_prime)(
+            self.params, self.cache, ctx_latents, ctx_audio,
+            ctx_mouse, ctx_btn, r_v, r_a)
         self._off_frames += ctx_latents.shape[1]
 
     def _make_tick(self, n_steps: int):
-        core, params, alpha = self.core, self.params, self.noise_prev
+        # params as a jit argument, not a closure capture (see
+        # CausvidPipeline._make_tick)
+        core, alpha = self.core, self.noise_prev
         c = self.config
         dt = self._resolve(n_steps, [1.0, 0.5] if n_steps == 2 else None)
 
-        def tick(cache, rng, mouse1, btn1):
+        def tick(params, cache, rng, mouse1, btn1):
             rng, r_v, r_a, r_nv, r_na = jax.random.split(rng, 5)
             cur_v = jax.random.normal(
                 r_v, (1, 1, c.channels, c.sample_size, c.sample_size),
@@ -363,7 +389,7 @@ class AVCachedStreamingPipeline(CachedStreamingPipeline):
                                   kv_cache=cache, write=True, decoding=True)
             return cache, rng, cur_v, cur_a
 
-        return jax.jit(tick, donate_argnums=(0,))
+        return jax.jit(tick, donate_argnums=(1,))
 
     def __call__(self, new_mouse, new_btn):
         n = self.sampling_steps
@@ -377,7 +403,7 @@ class AVCachedStreamingPipeline(CachedStreamingPipeline):
         b1 = jnp.asarray(np.asarray(new_btn, np.float32),
                          jnp.bfloat16)[None, None, :]
         self.cache, self.rng, frame_lat, audio_lat = self._ticks[n](
-            self.cache, self.rng, m1, b1)
+            self.params, self.cache, self.rng, m1, b1)
         self._off_frames += 1
         if self.frame_decode_fn is not None:
             frame = self.frame_decode_fn(frame_lat * self.image_scale)[0]
