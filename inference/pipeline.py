@@ -116,6 +116,8 @@ class CausvidPipeline:
         core, alpha, W = self.core, self.alpha, self.W
 
         def tick(params, buffers: StreamBuffers, new_mouse, new_btn):
+            new_mouse = new_mouse.astype(jnp.bfloat16)
+            new_btn = new_btn.astype(jnp.bfloat16)
             rng, r_h, r_a, r_nh, r_na = jax.random.split(buffers.rng, 5)
 
             def zl(r, x):
@@ -181,9 +183,8 @@ class CausvidPipeline:
         t0 = time.perf_counter()
         self.buffers, frame_lat, audio_lat = self._ticks[n](
             self.params, self.buffers,
-            jnp.asarray(new_mouse, jnp.bfloat16),
-            jnp.asarray(np.asarray(new_btn, dtype=np.float32),
-                        jnp.bfloat16))
+            np.asarray(new_mouse, np.float32),
+            np.asarray(new_btn, dtype=np.float32))
         if self.frame_decode_fn is not None:
             frame = self.frame_decode_fn(frame_lat * self.image_scale)[0]
         else:
@@ -265,7 +266,15 @@ class CachedStreamingPipeline:
         c = self.config
         dt = self._resolve(n_steps, [1.0, 0.5] if n_steps == 2 else None)
 
-        def tick(params, cache, rng, mouse1, btn1):
+        # ONE device program per tick: control prep (host numpy in) and
+        # the output frame slice both live inside the jit. Every eager
+        # op in the tick path is a separate executable dispatch, and a
+        # chain of ~5 of them bounded serve at ~48 ms/tick through the
+        # relay regardless of n_steps — the dispatch chain, not compute,
+        # was the floor.
+        def tick(params, cache, rng, mouse, btn):
+            mouse1 = mouse.astype(jnp.bfloat16)[None, None, :]
+            btn1 = btn.astype(jnp.bfloat16)[None, None, :]
             rng, r_init, r_renoise = jax.random.split(rng, 3)
             cur = jax.random.normal(
                 r_init, (1, 1, c.channels, c.sample_size, c.sample_size),
@@ -283,7 +292,7 @@ class CachedStreamingPipeline:
             _, cache = core.apply(params, noisy, jnp.full_like(t, alpha),
                                   mouse1, btn1, kv_cache=cache,
                                   write=True, decoding=True)
-            return cache, rng, cur
+            return cache, rng, cur[:, 0]
 
         return jax.jit(tick, donate_argnums=(1,))
 
@@ -295,16 +304,15 @@ class CachedStreamingPipeline:
         if self._rebase is not None and self._off_frames + 1 > self._table_f:
             self.cache = self._rebase(self.cache)
             self._off_frames -= self._delta_f
-        m1 = jnp.asarray(new_mouse, jnp.bfloat16)[None, None, :]
-        b1 = jnp.asarray(np.asarray(new_btn, np.float32),
-                         jnp.bfloat16)[None, None, :]
         self.cache, self.rng, frame_lat = self._ticks[n](
-            self.params, self.cache, self.rng, m1, b1)
+            self.params, self.cache, self.rng,
+            np.asarray(new_mouse, np.float32),
+            np.asarray(new_btn, np.float32))
         self._off_frames += 1
         if self.frame_decode_fn is not None:
-            frame = self.frame_decode_fn(frame_lat * self.image_scale)[0]
+            frame = self.frame_decode_fn(frame_lat[:, None] * self.image_scale)[0]
         else:
-            frame = frame_lat[:, 0]
+            frame = frame_lat
         jax.block_until_ready(frame)
         return frame, None, time.perf_counter() - t0
 
@@ -362,7 +370,10 @@ class AVCachedStreamingPipeline(CachedStreamingPipeline):
         c = self.config
         dt = self._resolve(n_steps, [1.0, 0.5] if n_steps == 2 else None)
 
-        def tick(params, cache, rng, mouse1, btn1):
+        # one device program per tick — see CachedStreamingPipeline
+        def tick(params, cache, rng, mouse, btn):
+            mouse1 = mouse.astype(jnp.bfloat16)[None, None, :]
+            btn1 = btn.astype(jnp.bfloat16)[None, None, :]
             rng, r_v, r_a, r_nv, r_na = jax.random.split(rng, 5)
             cur_v = jax.random.normal(
                 r_v, (1, 1, c.channels, c.sample_size, c.sample_size),
@@ -387,7 +398,7 @@ class AVCachedStreamingPipeline(CachedStreamingPipeline):
             _, cache = core.apply(params, noisy_v, noisy_a,
                                   jnp.full_like(t, alpha), mouse1, btn1,
                                   kv_cache=cache, write=True, decoding=True)
-            return cache, rng, cur_v, cur_a
+            return cache, rng, cur_v[:, 0], cur_a[:, 0]
 
         return jax.jit(tick, donate_argnums=(1,))
 
@@ -399,19 +410,19 @@ class AVCachedStreamingPipeline(CachedStreamingPipeline):
         if self._rebase is not None and self._off_frames + 1 > self._table_f:
             self.cache = self._rebase(self.cache)
             self._off_frames -= self._delta_f
-        m1 = jnp.asarray(new_mouse, jnp.bfloat16)[None, None, :]
-        b1 = jnp.asarray(np.asarray(new_btn, np.float32),
-                         jnp.bfloat16)[None, None, :]
         self.cache, self.rng, frame_lat, audio_lat = self._ticks[n](
-            self.params, self.cache, self.rng, m1, b1)
+            self.params, self.cache, self.rng,
+            np.asarray(new_mouse, np.float32),
+            np.asarray(new_btn, np.float32))
         self._off_frames += 1
         if self.frame_decode_fn is not None:
-            frame = self.frame_decode_fn(frame_lat * self.image_scale)[0]
+            frame = self.frame_decode_fn(
+                frame_lat[:, None] * self.image_scale)[0]
         else:
-            frame = frame_lat[:, 0]
+            frame = frame_lat
         if self.audio_decode_fn is not None:
-            audio = self.audio_decode_fn(audio_lat * self.audio_scale)
+            audio = self.audio_decode_fn(audio_lat[:, None] * self.audio_scale)
         else:
-            audio = audio_lat[:, 0]
+            audio = audio_lat
         jax.block_until_ready(frame)
         return frame, audio, time.perf_counter() - t0
