@@ -234,8 +234,79 @@ class GameCV:
         return tick
 
 
-if __name__ == "__main__":
+def main():
+    """Runnable interactive loop (reference inference/game_cv.py
+    __main__): builds the model from a config YAML (+ optional
+    checkpoint; random init for smoke runs), wraps it in a serve
+    pipeline, and runs the 60 FPS event loop — X11 when a display is
+    available, headless stats otherwise."""
+    import argparse
+    import pathlib
     import sys
-    sys.path.insert(0, "..")
-    print("GameCV requires a built pipeline; see inference/pipeline.py and "
-          "inference/test_sampling.py")
+
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config_path", required=True)
+    parser.add_argument("--ckpt_path", default=None)
+    parser.add_argument("--pipeline", default="cached",
+                        choices=["cached", "av_cached", "window"])
+    parser.add_argument("--steps", type=int, default=2)
+    parser.add_argument("--window_frames", type=int, default=120)
+    parser.add_argument("--fps", type=int, default=60)
+    parser.add_argument("--ticks", type=int, default=None,
+                        help="stop after N ticks (default: run until quit)")
+    parser.add_argument("--headless", action="store_true")
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from owl_audio_exps_tpu import from_pretrained
+    from owl_audio_exps_tpu.models import get_core_cls
+    from pipeline import (AVCachedStreamingPipeline, CachedStreamingPipeline,
+                          CausvidPipeline)
+
+    cfg, params = from_pretrained(args.config_path, args.ckpt_path)
+    m = cfg.model
+    core = get_core_cls(m.model_id)(m, dtype=jnp.bfloat16)
+    rs = np.random.RandomState(0)
+    n_ctx = 8
+    ctx = jnp.asarray(
+        rs.randn(1, n_ctx, m.channels, m.sample_size, m.sample_size),
+        jnp.bfloat16)
+    t0 = jnp.zeros((1, n_ctx), jnp.bfloat16)
+    mouse = jnp.zeros((1, n_ctx, 2), jnp.bfloat16)
+    btn = jnp.zeros((1, n_ctx, m.n_buttons), jnp.bfloat16)
+    has_audio = m.model_id in ("game_rft_audio", "game_mft_audio")
+    aud = (jnp.asarray(rs.randn(1, n_ctx, m.audio_channels), jnp.bfloat16)
+           if has_audio else None)
+    if params is None:
+        print("no checkpoint: random-init smoke run")
+        init_args = (ctx, aud, t0, mouse, btn) if has_audio else \
+            (ctx, t0, mouse, btn)
+        params = core.init(jax.random.key(0), *init_args)
+    elif "params" not in params:
+        params = {"params": params}
+
+    kind = args.pipeline
+    if kind == "av_cached" or (kind == "cached" and has_audio):
+        pipe = AVCachedStreamingPipeline(
+            core, params, m, window_frames=args.window_frames,
+            sampling_steps=args.steps)
+        pipe.prime(ctx, aud, mouse, btn)
+    elif kind == "cached":
+        pipe = CachedStreamingPipeline(
+            core, params, m, window_frames=args.window_frames,
+            sampling_steps=args.steps)
+        pipe.prime(ctx, mouse, btn)
+    else:
+        pipe = CausvidPipeline(core, params, m, window_length=60,
+                               sampling_steps=args.steps)
+
+    loop = GameCV(pipe, fps=args.fps,
+                  headless=True if args.headless else None)
+    loop.run(max_ticks=args.ticks)
+
+
+if __name__ == "__main__":
+    main()
