@@ -24,6 +24,13 @@ def init_distributed(coordinator_address: str = None, num_processes: int = None,
     global _INITIALIZED
     if not _INITIALIZED and (coordinator_address or num_processes):
         try:
+            import os
+            if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+                # cross-process CPU collectives need an explicit backend
+                # (used by the multi-host CPU test harness; TPU pods use
+                # the ICI/DCN fabric and ignore this)
+                jax.config.update(
+                    "jax_cpu_collectives_implementation", "gloo")
             jax.distributed.initialize(
                 coordinator_address=coordinator_address,
                 num_processes=num_processes,

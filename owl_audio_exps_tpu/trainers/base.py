@@ -20,6 +20,7 @@ from typing import Any, Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from flax import struct
 
@@ -329,7 +330,22 @@ class BaseTrainer:
             self.mesh, P(None, (AXIS_DATA, AXIS_FSDP), AXIS_SEQ))
         repl = NamedSharding(self.mesh, P())
 
+        nproc = jax.process_count()
+
         def put_leaf(leaf):
+            if nproc > 1:
+                # multi-host: the loader yields this PROCESS's slice of
+                # the batch (loaders shard by process_index); assemble
+                # the global array from per-process local shards
+                arr = np.asarray(leaf)
+                gbs = arr.shape[1] * nproc if arr.ndim >= 2 else 0
+                ok = arr.ndim >= 2 and gbs % dp_total == 0
+                if (ok and n_seq > 1 and arr.ndim >= 3
+                        and arr.shape[2] % n_seq == 0):
+                    return jax.make_array_from_process_local_data(
+                        sharded_seq, arr)
+                return jax.make_array_from_process_local_data(
+                    sharded if ok else repl, arr)
             arr = jnp.asarray(leaf)
             ok = arr.ndim >= 2 and arr.shape[1] % dp_total == 0
             if (ok and n_seq > 1 and arr.ndim >= 3

@@ -252,7 +252,8 @@ class CausVidTrainer(DistillTrainerBase):
         pending = DeferredMetrics()
         log_interval = self.log_interval()
 
-        rng = jax.random.key(11 + jax.process_index())
+        # process-uniform: replicated jit arg (see rft_trainer train())
+        rng = jax.random.key(11)
         total = max_steps if max_steps is not None else \
             self.train_cfg.get("max_steps") or int(1e12)
         self.timer.reset()

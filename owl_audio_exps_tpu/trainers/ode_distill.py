@@ -164,7 +164,8 @@ class DistillODETrainer(DistillTrainerBase):
                 metrics
 
         step_jit = jax.jit(step_fn, donate_argnums=(0,))
-        rng = jax.random.key(21 + jax.process_index())
+        # process-uniform: replicated jit arg (see rft_trainer train())
+        rng = jax.random.key(21)
         total = max_steps if max_steps is not None else \
             self.train_cfg.get("max_steps") or int(1e12)
         self.timer.reset()

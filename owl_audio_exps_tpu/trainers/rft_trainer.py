@@ -101,7 +101,11 @@ class RFTFamilyTrainer(BaseTrainer):
             batch_tokens=accum * self.train_cfg.batch_size * seq_tokens,
             seq_len=seq_tokens, training=True)
 
-        rng = jax.random.key(1234 + jax.process_index())
+        # process-uniform key: the rng rides the jitted step as a
+        # REPLICATED argument, so under multi-host SPMD every process
+        # must pass the same value (per-example noise diversity comes
+        # from jax.random partitioning over the globally-sharded batch)
+        rng = jax.random.key(1234)
         self.timer.reset()
         self.install_preemption_handler()
         try:
