@@ -30,7 +30,8 @@ NPROC = 2
 DEVICES_PER_PROC = 4
 
 
-def _child(process_id: int, nproc: int, port: int, out_path: str):
+def _child(process_id: int, nproc: int, port: int, out_path: str,
+           mode: str = "dp_fsdp"):
     # platform pinning happened via the env the parent passed; jax must
     # not have been imported yet in this interpreter
     assert "jax" not in sys.modules
@@ -69,6 +70,7 @@ def _child(process_id: int, nproc: int, port: int, out_path: str):
             # per-rank); global batch 8 shards over data*fsdp = 8
             "target_batch_size": 16, "batch_size": 4,
             "mesh": {"data": 4, "fsdp": 2},
+            "log_interval": 1,
             "epochs": 1, "opt": "AdamW", "opt_kwargs": {"lr": 1e-3},
             "scheduler": None,
             "sample_interval": 10 ** 9, "save_interval": 10 ** 9,
@@ -76,9 +78,16 @@ def _child(process_id: int, nproc: int, port: int, out_path: str):
         },
         "wandb": {"run_name": "multihost_test", "project": None},
     })
+    if mode == "seq":
+        # context parallelism across the global mesh: data axis spans
+        # the two processes, seq shards the frame axis within each
+        cfg.model.sequence_parallel = True
+        cfg.train.mesh = {"data": 2, "fsdp": 1, "tensor": 2, "seq": 2}
+        cfg.train.batch_size = 2
+        cfg.train.target_batch_size = 8
 
     trainer = get_trainer_cls("audio_rft")(cfg)
-    assert trainer.accum_steps() == 2  # 16 // 4 // 2 processes
+    assert trainer.accum_steps() == 2  # target // per-process bs // nproc
     state = trainer.train(max_steps=2)
     assert int(state.step) == 2
 
@@ -90,7 +99,7 @@ def _child(process_id: int, nproc: int, port: int, out_path: str):
     # and fsdp actually shards something (strict shard < global shape)
     n_strict = sum(1 for l in leaves
                    if l.addressable_shards[0].data.shape != l.shape)
-    assert n_strict > 0, "no param leaf strictly sharded over fsdp"
+    assert n_strict > 0, "no param leaf strictly sharded (fsdp/tensor)"
 
     def pnorm(params):
         return jnp.sqrt(sum(jnp.sum(jnp.square(l.astype(jnp.float32)))
@@ -104,6 +113,13 @@ def _child(process_id: int, nproc: int, port: int, out_path: str):
     norms = multihost_utils.process_allgather(jnp.float32(norm))
     assert norms.shape == (nproc,)
     assert float(norms.max() - norms.min()) == 0.0, norms
+
+    if mode == "seq":
+        with open(out_path, "w") as f:
+            json.dump({"process": process_id, "param_norm": norm,
+                       "step": int(state.step)}, f)
+        print(f"CHILD_OK process={process_id} norm={norm}", flush=True)
+        return
 
     # multi-host checkpoint roundtrip: all processes participate in the
     # orbax save of the SHARDED state, then restore onto live shardings
@@ -137,7 +153,8 @@ def _free_port() -> int:
 
 
 @pytest.mark.slow
-def test_two_process_sharded_training(tmp_path):
+@pytest.mark.parametrize("mode", ["dp_fsdp", "seq"])
+def test_two_process_sharded_training(tmp_path, mode):
     port = _free_port()
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
@@ -156,7 +173,7 @@ def test_two_process_sharded_training(tmp_path):
     procs = [
         subprocess.Popen(
             [sys.executable, os.path.abspath(__file__),
-             "--child", str(i), str(NPROC), str(port), outs[i]],
+             "--child", str(i), str(NPROC), str(port), outs[i], mode],
             env=env, cwd=REPO, stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT, text=True)
         for i in range(NPROC)
@@ -184,4 +201,4 @@ def test_two_process_sharded_training(tmp_path):
 if __name__ == "__main__" and "--child" in sys.argv:
     i = sys.argv.index("--child")
     _child(int(sys.argv[i + 1]), int(sys.argv[i + 2]),
-           int(sys.argv[i + 3]), sys.argv[i + 4])
+           int(sys.argv[i + 3]), sys.argv[i + 4], sys.argv[i + 5])
