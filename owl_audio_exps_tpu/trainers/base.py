@@ -274,6 +274,18 @@ class BaseTrainer:
             from jax.experimental import multihost_utils
             multihost_utils.sync_global_devices("trainer_barrier")
 
+    def broadcast_eval_batch(self, batch):
+        """Process-0's eval batch on every process. Eval inputs enter
+        the sampler jit replicated, so multi-host SPMD requires them
+        identical everywhere (the analogue of the reference's rank-0
+        recv/send eval gathers, owl_wms/trainers/rft_trainer.py:230-241).
+        No-op on a single process."""
+        if jax.process_count() == 1:
+            return batch
+        from ..parallel.dist import broadcast_from_main
+        return broadcast_from_main(
+            jax.tree.map(np.asarray, batch))
+
     # ------------------------------------------------- failure handling
     def install_preemption_handler(self):
         """SIGTERM/SIGINT set a flag; the loop checkpoints and exits at

@@ -233,7 +233,9 @@ class RFTTrainer(RFTFamilyTrainer):
     def eval_step(self, state, sample_loader, sampler):
         if sample_loader is None:
             return {}
-        batch = next(sample_loader)
+        # multi-host: eval inputs ride the sampler jit REPLICATED, so
+        # every process must feed the identical batch (process 0's)
+        batch = self.broadcast_eval_batch(next(sample_loader))
         vid, mouse, btn = [jnp.asarray(x) for x in batch[:3]]
         vid = (vid / self.train_cfg.vae_scale).astype(jnp.bfloat16)
         ctx_len = max(1, vid.shape[1] // 2)
@@ -286,7 +288,8 @@ class AVRFTTrainer(RFTFamilyTrainer):
     def eval_step(self, state, sample_loader, sampler):
         if sample_loader is None:
             return {}
-        batch = next(sample_loader)
+        # multi-host: identical replicated eval inputs on every process
+        batch = self.broadcast_eval_batch(next(sample_loader))
         vid, audio, mouse, btn = [jnp.asarray(x) for x in batch[:4]]
         vid = (vid / self.train_cfg.vae_scale).astype(jnp.bfloat16)
         audio = audio.astype(jnp.bfloat16)

@@ -121,6 +121,12 @@ def _child(process_id: int, nproc: int, port: int, out_path: str,
         print(f"CHILD_OK process={process_id} norm={norm}", flush=True)
         return
 
+    # eval-batch broadcast: every process must see process 0's batch
+    import numpy as _np
+    local_batch = [_np.full((2, 3), process_id, _np.float32)]
+    got = trainer.broadcast_eval_batch(local_batch)
+    assert float(_np.asarray(got[0]).max()) == 0.0, "not process 0's batch"
+
     # multi-host checkpoint roundtrip: all processes participate in the
     # orbax save of the SHARDED state, then restore onto live shardings
     ckpt_dir = os.path.join(os.path.dirname(out_path), "mh_ckpt")
