@@ -85,6 +85,17 @@ def _child(process_id: int, nproc: int, port: int, out_path: str,
         cfg.train.mesh = {"data": 2, "fsdp": 1, "tensor": 2, "seq": 2}
         cfg.train.batch_size = 2
         cfg.train.target_batch_size = 8
+    elif mode == "pipe":
+        # GPipe across the global mesh: data spans the processes, the
+        # scan_layers group stack shards over pipe stages within each
+        cfg.model.n_layers = 4
+        cfg.model.local_idx = 2
+        cfg.model.scan_layers = True
+        cfg.model.pipeline_parallel = True
+        cfg.model.pipeline_microbatches = 2
+        cfg.train.mesh = {"data": 4, "pipe": 2}
+        cfg.train.batch_size = 4
+        cfg.train.target_batch_size = 16
 
     trainer = get_trainer_cls("audio_rft")(cfg)
     assert trainer.accum_steps() == 2  # target // per-process bs // nproc
@@ -114,7 +125,7 @@ def _child(process_id: int, nproc: int, port: int, out_path: str,
     assert norms.shape == (nproc,)
     assert float(norms.max() - norms.min()) == 0.0, norms
 
-    if mode == "seq":
+    if mode in ("seq", "pipe"):
         with open(out_path, "w") as f:
             json.dump({"process": process_id, "param_norm": norm,
                        "step": int(state.step)}, f)
@@ -159,7 +170,7 @@ def _free_port() -> int:
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("mode", ["dp_fsdp", "seq"])
+@pytest.mark.parametrize("mode", ["dp_fsdp", "seq", "pipe"])
 def test_two_process_sharded_training(tmp_path, mode):
     port = _free_port()
     env = dict(os.environ)
