@@ -172,6 +172,20 @@ def _free_port() -> int:
 @pytest.mark.slow
 @pytest.mark.parametrize("mode", ["dp_fsdp", "seq", "pipe"])
 def test_two_process_sharded_training(tmp_path, mode):
+    # gloo's rendezvous has a fixed ~30s connect deadline; on a
+    # CPU-saturated host (parallel compile jobs) the children can miss
+    # it — that's environment load, not a product failure, so retry once
+    for attempt in range(2):
+        ok, detail = _run_pair(tmp_path, mode)
+        if ok:
+            return
+        transient = ("DEADLINE_EXCEEDED" in detail or "Gloo" in detail
+                     or "initialization timed out" in detail)
+        if not (transient and attempt == 0):
+            raise AssertionError(detail)
+
+
+def _run_pair(tmp_path, mode):
     port = _free_port()
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
@@ -205,14 +219,17 @@ def test_two_process_sharded_training(tmp_path, mode):
         logs.append(out)
         rcs.append(p.returncode)
     for i, (rc, log) in enumerate(zip(rcs, logs)):
-        assert rc == 0, (f"child {i} rc={rc}\n--- child {i} log ---\n"
-                         f"{log[-4000:]}")
-        assert "CHILD_OK" in log
+        if rc != 0 or "CHILD_OK" not in log:
+            return False, (f"child {i} rc={rc}\n--- child {i} log ---\n"
+                           f"{log[-4000:]}")
 
     results = [json.load(open(o)) for o in outs]
     # both processes ended with the identical model
-    assert results[0]["param_norm"] == results[1]["param_norm"]
-    assert all(r["step"] == 2 for r in results)
+    if results[0]["param_norm"] != results[1]["param_norm"]:
+        return False, f"param_norm mismatch: {results}"
+    if not all(r["step"] == 2 for r in results):
+        return False, f"bad step counts: {results}"
+    return True, ""
 
 
 if __name__ == "__main__" and "--child" in sys.argv:
