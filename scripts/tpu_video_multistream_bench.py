@@ -41,6 +41,9 @@ t0 = jnp.zeros((1, init_len), jnp.bfloat16)
 params = core.init(jax.random.key(0), x1, t0, m1[:, :init_len],
                    b1[:, :init_len])
 params = {"params": params["params"]}
+if os.environ.get("OWL_PARAM_QUANT") == "int8":
+    from owl_audio_exps_tpu.nn.wquant import quantize_params_int8
+    params = {"params": quantize_params_int8(params["params"])}
 
 for B in BATCHES:
     x = jnp.tile(x1, (B, 1, 1, 1, 1))
