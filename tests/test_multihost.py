@@ -71,7 +71,14 @@ def _child(process_id: int, nproc: int, port: int, out_path: str,
             "target_batch_size": 16, "batch_size": 4,
             "mesh": {"data": 4, "fsdp": 2},
             "log_interval": 1,
-            "epochs": 1, "opt": "AdamW", "opt_kwargs": {"lr": 1e-3},
+            # Muon: the reference's optimizer, whose rank-sharded NS5
+            # (owl_wms/muon.py:95-115) maps to fsdp param sharding here —
+            # this mode proves it trains across real processes
+            "epochs": 1, "opt": "Muon",
+            "opt_kwargs": {"lr": 1e-3, "momentum": 0.95,
+                           "adamw_lr": 1e-3,
+                           "adamw_keys": ["t_embed", "proj_in",
+                                          "proj_out", "adaln", "gate"]},
             "scheduler": None,
             "sample_interval": 10 ** 9, "save_interval": 10 ** 9,
             "vae_scale": 1.0,
@@ -85,6 +92,8 @@ def _child(process_id: int, nproc: int, port: int, out_path: str,
         cfg.train.mesh = {"data": 2, "fsdp": 1, "tensor": 2, "seq": 2}
         cfg.train.batch_size = 2
         cfg.train.target_batch_size = 8
+        cfg.train.opt = "AdamW"
+        cfg.train.opt_kwargs = {"lr": 1e-3}
     elif mode == "pipe":
         # GPipe across the global mesh: data spans the processes, the
         # scan_layers group stack shards over pipe stages within each
@@ -96,6 +105,8 @@ def _child(process_id: int, nproc: int, port: int, out_path: str,
         cfg.train.mesh = {"data": 4, "pipe": 2}
         cfg.train.batch_size = 4
         cfg.train.target_batch_size = 16
+        cfg.train.opt = "AdamW"
+        cfg.train.opt_kwargs = {"lr": 1e-3}
 
     trainer = get_trainer_cls("audio_rft")(cfg)
     assert trainer.accum_steps() == 2  # target // per-process bs // nproc
