@@ -208,7 +208,7 @@ class CachedStreamingPipeline:
     def __init__(self, core, params, config, window_frames: int = 120,
                  noise_prev: float = 0.2, sampling_steps: int = 1,
                  frame_decode_fn=None, image_scale: float = 1.0,
-                 seed: int = 0):
+                 seed: int = 0, n_sessions: int = 1):
         from owl_audio_exps_tpu.nn.kv_cache import KVCache
         from owl_audio_exps_tpu.sampling.schedulers import resolve_schedule
 
@@ -220,7 +220,12 @@ class CachedStreamingPipeline:
         self.frame_decode_fn = frame_decode_fn
         self.image_scale = image_scale
         self._resolve = resolve_schedule
-        self.cache = KVCache.from_config(config, 1,
+        # n_sessions > 1: serve N independent sessions in lockstep from
+        # one program — the ring cache carries one row per session and
+        # every tick takes/returns [n_sessions, ...] controls/frames
+        # (the pipeline twin of the multi-stream sampler benches)
+        self.n_sessions = n_sessions
+        self.cache = KVCache.from_config(config, n_sessions,
                                          capacity_frames=window_frames,
                                          dtype=jnp.bfloat16)
         self.rng = jax.random.key(seed)
@@ -273,13 +278,15 @@ class CachedStreamingPipeline:
         # relay regardless of n_steps — the dispatch chain, not compute,
         # was the floor.
         def tick(params, cache, rng, mouse, btn):
-            mouse1 = mouse.astype(jnp.bfloat16)[None, None, :]
-            btn1 = btn.astype(jnp.bfloat16)[None, None, :]
+            # controls arrive [axes] (single session) or [B, axes]
+            mouse1 = jnp.atleast_2d(mouse).astype(jnp.bfloat16)[:, None, :]
+            btn1 = jnp.atleast_2d(btn).astype(jnp.bfloat16)[:, None, :]
+            b = mouse1.shape[0]
             rng, r_init, r_renoise = jax.random.split(rng, 3)
             cur = jax.random.normal(
-                r_init, (1, 1, c.channels, c.sample_size, c.sample_size),
+                r_init, (b, 1, c.channels, c.sample_size, c.sample_size),
                 jnp.float32).astype(jnp.bfloat16)
-            t = jnp.ones((1, 1), jnp.bfloat16)
+            t = jnp.ones((b, 1), jnp.bfloat16)
             for i in range(n_steps):
                 pred, _ = core.apply(params, cur, t, mouse1, btn1,
                                      kv_cache=cache, decoding=True)
@@ -310,7 +317,8 @@ class CachedStreamingPipeline:
             np.asarray(new_btn, np.float32))
         self._off_frames += 1
         if self.frame_decode_fn is not None:
-            frame = self.frame_decode_fn(frame_lat[:, None] * self.image_scale)[0]
+            frame = self.frame_decode_fn(frame_lat[:, None] * self.image_scale)
+            frame = frame[0] if self.n_sessions == 1 else frame
         else:
             frame = frame_lat
         jax.block_until_ready(frame)
@@ -372,15 +380,17 @@ class AVCachedStreamingPipeline(CachedStreamingPipeline):
 
         # one device program per tick — see CachedStreamingPipeline
         def tick(params, cache, rng, mouse, btn):
-            mouse1 = mouse.astype(jnp.bfloat16)[None, None, :]
-            btn1 = btn.astype(jnp.bfloat16)[None, None, :]
+            # controls arrive [axes] (single session) or [B, axes]
+            mouse1 = jnp.atleast_2d(mouse).astype(jnp.bfloat16)[:, None, :]
+            btn1 = jnp.atleast_2d(btn).astype(jnp.bfloat16)[:, None, :]
+            b = mouse1.shape[0]
             rng, r_v, r_a, r_nv, r_na = jax.random.split(rng, 5)
             cur_v = jax.random.normal(
-                r_v, (1, 1, c.channels, c.sample_size, c.sample_size),
+                r_v, (b, 1, c.channels, c.sample_size, c.sample_size),
                 jnp.float32).astype(jnp.bfloat16)
-            cur_a = jax.random.normal(r_a, (1, 1, c.audio_channels),
+            cur_a = jax.random.normal(r_a, (b, 1, c.audio_channels),
                                       jnp.float32).astype(jnp.bfloat16)
-            t = jnp.ones((1, 1), jnp.bfloat16)
+            t = jnp.ones((b, 1), jnp.bfloat16)
             for i in range(n_steps):
                 (pv, pa), _ = core.apply(params, cur_v, cur_a, t, mouse1,
                                          btn1, kv_cache=cache, decoding=True)
@@ -417,7 +427,8 @@ class AVCachedStreamingPipeline(CachedStreamingPipeline):
         self._off_frames += 1
         if self.frame_decode_fn is not None:
             frame = self.frame_decode_fn(
-                frame_lat[:, None] * self.image_scale)[0]
+                frame_lat[:, None] * self.image_scale)
+            frame = frame[0] if self.n_sessions == 1 else frame
         else:
             frame = frame_lat
         if self.audio_decode_fn is not None:

@@ -55,6 +55,9 @@ if os.environ.get("OWL_PARAM_QUANT") == "int8":
     params = {"params": quantize_params_int8(params["params"])}
 
 
+SESSIONS = int(os.environ.get("OWL_AV_SESSIONS", "1"))
+
+
 def run_ticks(pipe, n, fetch_each=False):
     """Run n ticks, varying controls per tick.
 
@@ -69,6 +72,10 @@ def run_ticks(pipe, n, fetch_each=False):
     for i in range(n):
         mouse = np.asarray([0.1 * ((i % 7) - 3), 0.05 * ((i % 5) - 2)])
         btn = (np.arange(11) % (2 + i % 3) == 0).astype(np.float32)
+        if SESSIONS > 1:
+            mouse = np.stack([mouse * (1 + 0.1 * s)
+                              for s in range(SESSIONS)])
+            btn = np.tile(btn, (SESSIONS, 1))
         t_start = time.perf_counter()
         out = pipe(mouse, btn)
         if fetch_each:
@@ -80,18 +87,24 @@ def run_ticks(pipe, n, fetch_each=False):
 
 if MODE in ("cached", "both"):
     pipe = AVCachedStreamingPipeline(core, params, cfg, window_frames=CAP,
-                                     sampling_steps=STEPS)
-    pipe.prime(x, a, m, b)
+                                     sampling_steps=STEPS,
+                                     n_sessions=SESSIONS)
+    if SESSIONS > 1:
+        tile = lambda v, r: jnp.tile(v, (SESSIONS,) + (1,) * (r - 1))
+        pipe.prime(tile(x, 5), tile(a, 3), tile(m, 3), tile(b, 3))
+    else:
+        pipe.prime(x, a, m, b)
     t_start = time.perf_counter()
     run_ticks(pipe, 2)  # compile
     print("cached compile+2 ticks %.1fs" % (time.perf_counter() - t_start))
     _, agg = run_ticks(pipe, N_TICKS)
     lat, _ = run_ticks(pipe, max(N_TICKS // 4, 8), fetch_each=True)
     med = float(np.median(lat))
-    print("CACHED AV serve cap=%d steps=%d: sustained %.1f ms/tick "
-          "(%.2f ticks/s); per-tick host fetch %.1f ms p50, %.1f p90"
-          % (CAP, STEPS, 1e3 * agg, 1.0 / agg, 1e3 * med,
-             1e3 * float(np.percentile(lat, 90))))
+    print("CACHED AV serve cap=%d steps=%d sessions=%d: sustained %.1f "
+          "ms/tick (%.2f ticks/s agg %.1f session-ticks/s); per-tick host "
+          "fetch %.1f ms p50, %.1f p90"
+          % (CAP, STEPS, SESSIONS, 1e3 * agg, 1.0 / agg, SESSIONS / agg,
+             1e3 * med, 1e3 * float(np.percentile(lat, 90))))
 
 if MODE in ("window", "both"):
     wpipe = CausvidPipeline(core, params, cfg, window_length=60,

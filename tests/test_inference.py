@@ -131,3 +131,58 @@ def test_av_cached_streaming_pipeline():
         assert np.isfinite(np.asarray(frame, np.float32)).all()
         assert np.isfinite(np.asarray(audio, np.float32)).all()
     assert int(pipe.cache.length) <= 6 * 5
+
+
+def test_av_cached_pipeline_multi_session():
+    """n_sessions > 1: N independent sessions tick in lockstep from one
+    program (batched ring rows). Cross-session ISOLATION: session 0's
+    outputs must be bit-identical regardless of what controls session 1
+    receives (same seed => same noise draws; only controls differ)."""
+    sys.path.insert(0, "inference")
+    from pipeline import AVCachedStreamingPipeline
+
+    cfg = transformer_config(
+        model_id="game_rft_audio", n_layers=2, n_heads=2, d_model=32,
+        channels=4, audio_channels=4, sample_size=2, tokens_per_frame=5,
+        n_frames=8, n_buttons=3, causal=True, uncond=False, has_audio=True,
+        rope_impl="ortho", local_window=2, global_window=None, cfg_prob=0.0)
+    core = GameRFTAudioCore(cfg, dtype=jnp.bfloat16)
+    x1 = jnp.zeros((1, 3, 4, 2, 2), jnp.bfloat16)
+    a1 = jnp.zeros((1, 3, 4), jnp.bfloat16)
+    t1 = jnp.zeros((1, 3), jnp.bfloat16)
+    m1 = jnp.zeros((1, 3, 2), jnp.bfloat16)
+    b1 = jnp.zeros((1, 3, 3), jnp.bfloat16)
+    params = core.init(jax.random.key(0), x1, a1, t1, m1, b1)
+
+    rs = np.random.RandomState(0)
+    ctrl0_m = rs.randn(6, 2).astype(np.float32)  # session 0's controls
+    ctrl0_b = (rs.rand(6, 3) > 0.5).astype(np.float32)
+
+    def run(sess1_scale):
+        pipe = AVCachedStreamingPipeline(
+            core, params, cfg, window_frames=6, sampling_steps=2,
+            n_sessions=2, seed=7)
+        # both sessions primed with the same context clip
+        pipe.prime(jnp.tile(x1, (2, 1, 1, 1, 1)), jnp.tile(a1, (2, 1, 1)),
+                   jnp.tile(m1, (2, 1, 1)), jnp.tile(b1, (2, 1, 1)))
+        frames, audios = [], []
+        for i in range(6):
+            mouse = np.stack([ctrl0_m[i], ctrl0_m[i] * sess1_scale])
+            btn = np.stack([ctrl0_b[i], 1.0 - ctrl0_b[i]
+                            if sess1_scale != 1.0 else ctrl0_b[i]])
+            frame, audio, _ = pipe(mouse, btn)
+            assert frame.shape == (2, 4, 2, 2)
+            assert audio.shape == (2, 4)
+            frames.append(np.asarray(frame, np.float32))
+            audios.append(np.asarray(audio, np.float32))
+        return frames, audios
+
+    fa, aa = run(1.0)     # session 1 mirrors session 0
+    fb, ab = run(-3.0)    # session 1 gets completely different controls
+    for i in range(6):
+        assert np.isfinite(fa[i]).all() and np.isfinite(aa[i]).all()
+        # session 0 is unaffected by session 1's controls
+        np.testing.assert_array_equal(fa[i][0], fb[i][0])
+        np.testing.assert_array_equal(aa[i][0], ab[i][0])
+    # and the two sessions in run b actually diverged
+    assert any(not np.array_equal(fb[i][0], fb[i][1]) for i in range(6))
