@@ -352,6 +352,15 @@ class BaseTrainer:
                 arr = np.asarray(leaf)
                 gbs = arr.shape[1] * nproc if arr.ndim >= 2 else 0
                 ok = arr.ndim >= 2 and gbs % dp_total == 0
+                if arr.ndim >= 2 and not ok:
+                    # replicating would be split-brain: each process's
+                    # slice is DIFFERENT data, but a replicated sharding
+                    # makes XLA assume identical values everywhere
+                    raise ValueError(
+                        f"multi-host batch leaf {arr.shape}: global "
+                        f"batch {gbs} (= {arr.shape[1]} per process x "
+                        f"{nproc}) must divide data*fsdp = {dp_total}; "
+                        "adjust batch_size / mesh")
                 if (ok and n_seq > 1 and arr.ndim >= 3
                         and arr.shape[2] % n_seq == 0):
                     return jax.make_array_from_process_local_data(

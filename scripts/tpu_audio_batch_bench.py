@@ -1,6 +1,7 @@
 """Batched audio streaming: aggregate RTF serving N concurrent streams.
 
-Env knobs: OWL_BENCH_QUANT=int8 (weight-only int8, nn/wquant.py),
+Env knobs: OWL_PARAM_QUANT=int8 (weight-only int8, nn/wquant.py;
+OWL_BENCH_QUANT accepted as the bench.py-compatible alias),
 OWL_KV_QUANT=int8 (int8 KV rings)."""
 import sys, pathlib, os, time
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
@@ -26,7 +27,8 @@ params = core.init(jax.random.key(0), x, jnp.zeros((B, 120), jnp.bfloat16))
 params = jax.tree.map(
     lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
     params)
-if os.environ.get("OWL_BENCH_QUANT") == "int8":
+if "int8" in (os.environ.get("OWL_PARAM_QUANT"),
+              os.environ.get("OWL_BENCH_QUANT")):
     from owl_audio_exps_tpu.nn.wquant import quantize_params_int8
     params = {"params": quantize_params_int8(params["params"])}
 sampler = AudioCachingSampler(n_steps=2, num_tokens=240, noise_prev=0.2,

@@ -58,7 +58,7 @@ if os.environ.get("OWL_PARAM_QUANT") == "int8":
 SESSIONS = int(os.environ.get("OWL_AV_SESSIONS", "1"))
 
 
-def run_ticks(pipe, n, fetch_each=False):
+def run_ticks(pipe, n, fetch_each=False, sessions=1):
     """Run n ticks, varying controls per tick.
 
     Over the axon relay, block_until_ready is effectively async — the
@@ -72,10 +72,10 @@ def run_ticks(pipe, n, fetch_each=False):
     for i in range(n):
         mouse = np.asarray([0.1 * ((i % 7) - 3), 0.05 * ((i % 5) - 2)])
         btn = (np.arange(11) % (2 + i % 3) == 0).astype(np.float32)
-        if SESSIONS > 1:
+        if sessions > 1:
             mouse = np.stack([mouse * (1 + 0.1 * s)
-                              for s in range(SESSIONS)])
-            btn = np.tile(btn, (SESSIONS, 1))
+                              for s in range(sessions)])
+            btn = np.tile(btn, (sessions, 1))
         t_start = time.perf_counter()
         out = pipe(mouse, btn)
         if fetch_each:
@@ -95,10 +95,11 @@ if MODE in ("cached", "both"):
     else:
         pipe.prime(x, a, m, b)
     t_start = time.perf_counter()
-    run_ticks(pipe, 2)  # compile
+    run_ticks(pipe, 2, sessions=SESSIONS)  # compile
     print("cached compile+2 ticks %.1fs" % (time.perf_counter() - t_start))
-    _, agg = run_ticks(pipe, N_TICKS)
-    lat, _ = run_ticks(pipe, max(N_TICKS // 4, 8), fetch_each=True)
+    _, agg = run_ticks(pipe, N_TICKS, sessions=SESSIONS)
+    lat, _ = run_ticks(pipe, max(N_TICKS // 4, 8), fetch_each=True,
+                       sessions=SESSIONS)
     med = float(np.median(lat))
     print("CACHED AV serve cap=%d steps=%d sessions=%d: sustained %.1f "
           "ms/tick (%.2f ticks/s agg %.1f session-ticks/s); per-tick host "

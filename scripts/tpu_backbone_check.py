@@ -105,9 +105,9 @@ def mmdit_decode_check():
                        - fv[:, -1].astype(jnp.float32)).max())
     da = float(jnp.abs(la[:, 0].astype(jnp.float32)
                        - fa[:, -1].astype(jnp.float32)).max())
+    assert dv < 0.05 and da < 0.05, (dv, da)
     print(f"PASS mmdit cached-decode on-chip: max|dv|={dv:.4f} "
           f"max|da|={da:.4f} (bf16)", flush=True)
-    assert dv < 0.05 and da < 0.05, (dv, da)
 
 
 run_trainer("mmdit")
