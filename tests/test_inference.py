@@ -186,3 +186,48 @@ def test_av_cached_pipeline_multi_session():
         np.testing.assert_array_equal(aa[i][0], ab[i][0])
     # and the two sessions in run b actually diverged
     assert any(not np.array_equal(fb[i][0], fb[i][1]) for i in range(6))
+
+
+def test_video_cached_pipeline_multi_session():
+    """Video pipeline n_sessions: same isolation contract as the AV
+    variant — session 0's outputs invariant to session 1's controls."""
+    sys.path.insert(0, "inference")
+    from pipeline import CachedStreamingPipeline
+    from owl_audio_exps_tpu.models.gamerft import GameRFTCore
+
+    cfg = transformer_config(
+        model_id="game_rft", n_layers=2, n_heads=2, d_model=32, channels=4,
+        sample_size=2, tokens_per_frame=4, n_frames=16, n_buttons=3,
+        causal=True, uncond=False, has_audio=False, rope_impl="ortho",
+        local_window=2, global_window=None, cfg_prob=0.0)
+    core = GameRFTCore(cfg, dtype=jnp.bfloat16)
+    x1 = jnp.zeros((1, 3, 4, 2, 2), jnp.bfloat16)
+    t1 = jnp.zeros((1, 3), jnp.bfloat16)
+    m1 = jnp.zeros((1, 3, 2), jnp.bfloat16)
+    b1 = jnp.zeros((1, 3, 3), jnp.bfloat16)
+    params = core.init(jax.random.key(0), x1, t1, m1, b1)
+
+    rs = np.random.RandomState(1)
+    ctrl_m = rs.randn(5, 2).astype(np.float32)
+    ctrl_b = (rs.rand(5, 3) > 0.5).astype(np.float32)
+
+    def run(sess1_scale):
+        pipe = CachedStreamingPipeline(core, params, cfg, window_frames=8,
+                                       sampling_steps=2, n_sessions=2,
+                                       seed=5)
+        pipe.prime(jnp.tile(x1, (2, 1, 1, 1, 1)), jnp.tile(m1, (2, 1, 1)),
+                   jnp.tile(b1, (2, 1, 1)))
+        frames = []
+        for i in range(5):
+            mouse = np.stack([ctrl_m[i], ctrl_m[i] * sess1_scale])
+            btn = np.stack([ctrl_b[i], ctrl_b[i]])
+            frame, _, _ = pipe(mouse, btn)
+            assert frame.shape == (2, 4, 2, 2)
+            frames.append(np.asarray(frame, np.float32))
+        return frames
+
+    fa = run(1.0)
+    fb = run(-2.0)
+    for i in range(5):
+        assert np.isfinite(fa[i]).all()
+        np.testing.assert_array_equal(fa[i][0], fb[i][0])
