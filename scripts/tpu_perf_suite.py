@@ -1,5 +1,7 @@
-"""Consolidated TPU perf suite: runs every benchmark serially and writes
-PERF.md. Usage: python scripts/tpu_perf_suite.py [--quick]
+"""Consolidated TPU perf suite: runs the core benchmarks serially and
+writes PERF_AUTO.md (NOT PERF.md — that file is the hand-curated
+measured ledger and must never be clobbered by an automated run).
+Usage: python scripts/tpu_perf_suite.py
 """
 import pathlib
 import subprocess
@@ -24,7 +26,8 @@ RUNS = [
 
 
 def main():
-    lines = ["# PERF — measured on the attached TPU", ""]
+    lines = ["# PERF_AUTO — one-shot reproduction run "
+             "(curated ledger: PERF.md)", ""]
     for name, cmd in RUNS:
         t0 = time.time()
         try:
@@ -38,8 +41,8 @@ def main():
         lines.append(f"## {name} ({status}, {time.time() - t0:.0f}s)")
         lines.extend(["```", *tail, "```", ""])
         print(f"[{status}] {name}: {tail}")
-    (ROOT / "PERF.md").write_text("\n".join(lines))
-    print("wrote PERF.md")
+    (ROOT / "PERF_AUTO.md").write_text("\n".join(lines))
+    print("wrote PERF_AUTO.md")
 
 
 if __name__ == "__main__":
