@@ -208,7 +208,8 @@ class CachedStreamingPipeline:
     def __init__(self, core, params, config, window_frames: int = 120,
                  noise_prev: float = 0.2, sampling_steps: int = 1,
                  frame_decode_fn=None, image_scale: float = 1.0,
-                 seed: int = 0, n_sessions: int = 1):
+                 seed: int = 0, n_sessions: int = 1,
+                 fused_write: bool = True):
         from owl_audio_exps_tpu.nn.kv_cache import KVCache
         from owl_audio_exps_tpu.sampling.schedulers import resolve_schedule
 
@@ -220,6 +221,16 @@ class CachedStreamingPipeline:
         self.frame_decode_fn = frame_decode_fn
         self.image_scale = image_scale
         self._resolve = resolve_schedule
+        # fused_write: defer each tick's cache re-encode into the NEXT
+        # tick's first denoise forward (one 2-frame causal forward with a
+        # write_len=1 partial commit) — sampling_steps weight reads per
+        # tick instead of sampling_steps + 1; exactly the sequential
+        # schedule (sampling/audio_caching.py rationale, CPU-equivalence
+        # tested in tests/test_fused_write.py). The pending frame + its
+        # controls ride host state between ticks.
+        self.fused_write = fused_write
+        self._pending = None       # (latents...) awaiting commit
+        self._p_controls = None    # (mouse, btn) the pending was made with
         # n_sessions > 1: serve N independent sessions in lockstep from
         # one program — the ring cache carries one row per session and
         # every tick takes/returns [n_sessions, ...] controls/frames
@@ -252,19 +263,33 @@ class CachedStreamingPipeline:
         self.rng = rng
         alpha = self.noise_prev
 
+        fused = self.fused_write and ctx_latents.shape[1] >= 1
+
         def _prime(p, c, lat, mouse, btn, key):
             z = jax.random.normal(key, lat.shape, jnp.float32)
             noisy = (lat.astype(jnp.float32) * (1.0 - alpha)
                      + z * alpha).astype(jnp.bfloat16)
             t = jnp.full(lat.shape[:2], alpha, jnp.bfloat16)
-            return self.core.apply(p, noisy, t, mouse, btn,
+            if fused:
+                # defer the last context frame to the first tick's fused
+                # forward (identical attention set either way)
+                if lat.shape[1] > 1:
+                    _, c = self.core.apply(p, noisy[:, :-1], t[:, :-1],
+                                           mouse[:, :-1], btn[:, :-1],
+                                           kv_cache=c, write=True)
+                return c, noisy[:, -1:]
+            _, c = self.core.apply(p, noisy, t, mouse, btn,
                                    kv_cache=c, write=True)
+            return c, noisy[:, -1:] * 0
 
-        _, self.cache = jax.jit(_prime)(
+        self.cache, pending = jax.jit(_prime)(
             self.params, self.cache, ctx_latents, ctx_mouse, ctx_btn, r)
+        if fused:
+            self._pending = pending
+            self._p_controls = (ctx_mouse[:, -1], ctx_btn[:, -1])
         self._off_frames += ctx_latents.shape[1]
 
-    def _make_tick(self, n_steps: int):
+    def _make_tick(self, n_steps: int, mode: str = "plain"):
         # params as a jit argument, not a closure capture (see
         # CausvidPipeline._make_tick)
         core, alpha = self.core, self.noise_prev
@@ -277,7 +302,13 @@ class CachedStreamingPipeline:
         # chain of ~5 of them bounded serve at ~48 ms/tick through the
         # relay regardless of n_steps — the dispatch chain, not compute,
         # was the floor.
-        def tick(params, cache, rng, mouse, btn):
+        #
+        # mode: "plain" = write-forward per tick; "steady" = fused
+        # write (pending frame commits inside the first denoise,
+        # write_len=1); "first" = fused session opener (nothing pending
+        # yet — this tick only PRODUCES the first pending frame).
+        def tick(params, cache, rng, mouse, btn, pending=None,
+                 p_mouse=None, p_btn=None):
             # controls arrive [axes] (single session) or [B, axes]
             mouse1 = jnp.atleast_2d(mouse).astype(jnp.bfloat16)[:, None, :]
             btn1 = jnp.atleast_2d(btn).astype(jnp.bfloat16)[:, None, :]
@@ -287,7 +318,24 @@ class CachedStreamingPipeline:
                 r_init, (b, 1, c.channels, c.sample_size, c.sample_size),
                 jnp.float32).astype(jnp.bfloat16)
             t = jnp.ones((b, 1), jnp.bfloat16)
-            for i in range(n_steps):
+            steps = range(n_steps)
+            if mode == "steady":
+                pm = jnp.atleast_2d(p_mouse).astype(
+                    jnp.bfloat16)[:, None, :]
+                pb = jnp.atleast_2d(p_btn).astype(jnp.bfloat16)[:, None, :]
+                x2 = jnp.concatenate([pending, cur], axis=1)
+                t2 = jnp.concatenate(
+                    [jnp.full_like(t, alpha), t], axis=1)
+                pred2, cache = core.apply(
+                    params, x2, t2,
+                    jnp.concatenate([pm, mouse1], axis=1),
+                    jnp.concatenate([pb, btn1], axis=1),
+                    kv_cache=cache, write=True, write_len=1)
+                cur = (cur.astype(jnp.float32) - float(dt[0])
+                       * pred2[:, -1:].astype(jnp.float32)).astype(cur.dtype)
+                t = (t.astype(jnp.float32) - float(dt[0])).astype(t.dtype)
+                steps = range(1, n_steps)
+            for i in steps:
                 pred, _ = core.apply(params, cur, t, mouse1, btn1,
                                      kv_cache=cache, decoding=True)
                 cur = (cur.astype(jnp.float32) - float(dt[i])
@@ -296,25 +344,44 @@ class CachedStreamingPipeline:
             z = jax.random.normal(r_renoise, cur.shape, jnp.float32)
             noisy = (cur.astype(jnp.float32) * (1 - alpha)
                      + z * alpha).astype(cur.dtype)
-            _, cache = core.apply(params, noisy, jnp.full_like(t, alpha),
-                                  mouse1, btn1, kv_cache=cache,
-                                  write=True, decoding=True)
-            return cache, rng, cur[:, 0]
+            if mode == "plain":
+                _, cache = core.apply(params, noisy, jnp.full_like(t, alpha),
+                                      mouse1, btn1, kv_cache=cache,
+                                      write=True, decoding=True)
+                return cache, rng, cur[:, 0]
+            return cache, rng, cur[:, 0], noisy
 
         return jax.jit(tick, donate_argnums=(1,))
 
+    def _get_tick(self, n_steps: int, mode: str):
+        key = (n_steps, mode)
+        if key not in self._ticks:
+            self._ticks[key] = self._make_tick(n_steps, mode)
+        return self._ticks[key]
+
     def __call__(self, new_mouse, new_btn):
         n = self.sampling_steps
-        if n not in self._ticks:
-            self._ticks[n] = self._make_tick(n)
         t0 = time.perf_counter()
         if self._rebase is not None and self._off_frames + 1 > self._table_f:
             self.cache = self._rebase(self.cache)
             self._off_frames -= self._delta_f
-        self.cache, self.rng, frame_lat = self._ticks[n](
-            self.params, self.cache, self.rng,
-            np.asarray(new_mouse, np.float32),
-            np.asarray(new_btn, np.float32))
+        m = np.asarray(new_mouse, np.float32)
+        bt = np.asarray(new_btn, np.float32)
+        if not self.fused_write:
+            self.cache, self.rng, frame_lat = self._get_tick(n, "plain")(
+                self.params, self.cache, self.rng, m, bt)
+        elif self._pending is None:
+            self.cache, self.rng, frame_lat, self._pending = \
+                self._get_tick(n, "first")(
+                    self.params, self.cache, self.rng, m, bt)
+            self._p_controls = (m, bt)
+        else:
+            pm, pb = self._p_controls
+            self.cache, self.rng, frame_lat, self._pending = \
+                self._get_tick(n, "steady")(
+                    self.params, self.cache, self.rng, m, bt,
+                    self._pending, pm, pb)
+            self._p_controls = (m, bt)
         self._off_frames += 1
         if self.frame_decode_fn is not None:
             frame = self.frame_decode_fn(frame_lat[:, None] * self.image_scale)
@@ -354,6 +421,8 @@ class AVCachedStreamingPipeline(CachedStreamingPipeline):
         self.rng = rng
         alpha = self.noise_prev
 
+        fused = self.fused_write and ctx_latents.shape[1] >= 1
+
         def _prime(p, c, lat_v, lat_a, mouse, btn, kv, ka):
             def noise_to(x, r):
                 z = jax.random.normal(r, x.shape, jnp.float32)
@@ -363,23 +432,35 @@ class AVCachedStreamingPipeline(CachedStreamingPipeline):
             noisy_v = noise_to(lat_v, kv)
             noisy_a = noise_to(lat_a, ka)
             t = jnp.full(lat_v.shape[:2], alpha, jnp.bfloat16)
-            return self.core.apply(p, noisy_v, noisy_a, t, mouse, btn,
+            if fused:
+                if lat_v.shape[1] > 1:
+                    _, c = self.core.apply(
+                        p, noisy_v[:, :-1], noisy_a[:, :-1], t[:, :-1],
+                        mouse[:, :-1], btn[:, :-1], kv_cache=c, write=True)
+                return c, noisy_v[:, -1:], noisy_a[:, -1:]
+            _, c = self.core.apply(p, noisy_v, noisy_a, t, mouse, btn,
                                    kv_cache=c, write=True)
+            return c, noisy_v[:, -1:] * 0, noisy_a[:, -1:] * 0
 
-        _, self.cache = jax.jit(_prime)(
+        self.cache, pv, pa = jax.jit(_prime)(
             self.params, self.cache, ctx_latents, ctx_audio,
             ctx_mouse, ctx_btn, r_v, r_a)
+        if fused:
+            self._pending = (pv, pa)
+            self._p_controls = (ctx_mouse[:, -1], ctx_btn[:, -1])
         self._off_frames += ctx_latents.shape[1]
 
-    def _make_tick(self, n_steps: int):
+    def _make_tick(self, n_steps: int, mode: str = "plain"):
         # params as a jit argument, not a closure capture (see
-        # CausvidPipeline._make_tick)
+        # CausvidPipeline._make_tick); mode semantics as in
+        # CachedStreamingPipeline._make_tick (fused write-forward)
         core, alpha = self.core, self.noise_prev
         c = self.config
         dt = self._resolve(n_steps, [1.0, 0.5] if n_steps == 2 else None)
 
         # one device program per tick — see CachedStreamingPipeline
-        def tick(params, cache, rng, mouse, btn):
+        def tick(params, cache, rng, mouse, btn, pending=None,
+                 p_mouse=None, p_btn=None):
             # controls arrive [axes] (single session) or [B, axes]
             mouse1 = jnp.atleast_2d(mouse).astype(jnp.bfloat16)[:, None, :]
             btn1 = jnp.atleast_2d(btn).astype(jnp.bfloat16)[:, None, :]
@@ -391,7 +472,27 @@ class AVCachedStreamingPipeline(CachedStreamingPipeline):
             cur_a = jax.random.normal(r_a, (b, 1, c.audio_channels),
                                       jnp.float32).astype(jnp.bfloat16)
             t = jnp.ones((b, 1), jnp.bfloat16)
-            for i in range(n_steps):
+            steps = range(n_steps)
+            if mode == "steady":
+                pend_v, pend_a = pending
+                pm = jnp.atleast_2d(p_mouse).astype(
+                    jnp.bfloat16)[:, None, :]
+                pb = jnp.atleast_2d(p_btn).astype(jnp.bfloat16)[:, None, :]
+                x2 = jnp.concatenate([pend_v, cur_v], axis=1)
+                a2 = jnp.concatenate([pend_a, cur_a], axis=1)
+                t2 = jnp.concatenate([jnp.full_like(t, alpha), t], axis=1)
+                (pv, pa), cache = core.apply(
+                    params, x2, a2, t2,
+                    jnp.concatenate([pm, mouse1], axis=1),
+                    jnp.concatenate([pb, btn1], axis=1),
+                    kv_cache=cache, write=True, write_len=1)
+                cur_v = (cur_v.astype(jnp.float32) - float(dt[0])
+                         * pv[:, -1:].astype(jnp.float32)).astype(cur_v.dtype)
+                cur_a = (cur_a.astype(jnp.float32) - float(dt[0])
+                         * pa[:, -1:].astype(jnp.float32)).astype(cur_a.dtype)
+                t = (t.astype(jnp.float32) - float(dt[0])).astype(t.dtype)
+                steps = range(1, n_steps)
+            for i in steps:
                 (pv, pa), _ = core.apply(params, cur_v, cur_a, t, mouse1,
                                          btn1, kv_cache=cache, decoding=True)
                 cur_v = (cur_v.astype(jnp.float32) - float(dt[i])
@@ -405,25 +506,40 @@ class AVCachedStreamingPipeline(CachedStreamingPipeline):
                        + zv * alpha).astype(cur_v.dtype)
             noisy_a = (cur_a.astype(jnp.float32) * (1.0 - alpha)
                        + za * alpha).astype(cur_a.dtype)
-            _, cache = core.apply(params, noisy_v, noisy_a,
-                                  jnp.full_like(t, alpha), mouse1, btn1,
-                                  kv_cache=cache, write=True, decoding=True)
-            return cache, rng, cur_v[:, 0], cur_a[:, 0]
+            if mode == "plain":
+                _, cache = core.apply(params, noisy_v, noisy_a,
+                                      jnp.full_like(t, alpha), mouse1, btn1,
+                                      kv_cache=cache, write=True,
+                                      decoding=True)
+                return cache, rng, cur_v[:, 0], cur_a[:, 0]
+            return cache, rng, cur_v[:, 0], cur_a[:, 0], (noisy_v, noisy_a)
 
         return jax.jit(tick, donate_argnums=(1,))
 
     def __call__(self, new_mouse, new_btn):
         n = self.sampling_steps
-        if n not in self._ticks:
-            self._ticks[n] = self._make_tick(n)
         t0 = time.perf_counter()
         if self._rebase is not None and self._off_frames + 1 > self._table_f:
             self.cache = self._rebase(self.cache)
             self._off_frames -= self._delta_f
-        self.cache, self.rng, frame_lat, audio_lat = self._ticks[n](
-            self.params, self.cache, self.rng,
-            np.asarray(new_mouse, np.float32),
-            np.asarray(new_btn, np.float32))
+        m = np.asarray(new_mouse, np.float32)
+        bt = np.asarray(new_btn, np.float32)
+        if not self.fused_write:
+            self.cache, self.rng, frame_lat, audio_lat = \
+                self._get_tick(n, "plain")(
+                    self.params, self.cache, self.rng, m, bt)
+        elif self._pending is None:
+            self.cache, self.rng, frame_lat, audio_lat, self._pending = \
+                self._get_tick(n, "first")(
+                    self.params, self.cache, self.rng, m, bt)
+            self._p_controls = (m, bt)
+        else:
+            pm, pb = self._p_controls
+            self.cache, self.rng, frame_lat, audio_lat, self._pending = \
+                self._get_tick(n, "steady")(
+                    self.params, self.cache, self.rng, m, bt,
+                    self._pending, pm, pb)
+            self._p_controls = (m, bt)
         self._off_frames += 1
         if self.frame_decode_fn is not None:
             frame = self.frame_decode_fn(

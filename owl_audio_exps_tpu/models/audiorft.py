@@ -29,7 +29,7 @@ class AudioRFTCore(nn.Module):
     @nn.compact
     def __call__(self, x, t, doc_id=None, kv_cache: Optional[KVCache] = None,
                  write: bool = False, decoding: bool = False,
-                 deterministic: bool = True):
+                 deterministic: bool = True, write_len: Optional[int] = None):
         cfg = self.config
         assert cfg.backbone == "dit"
         assert cfg.tokens_per_frame == 1
@@ -39,7 +39,8 @@ class AudioRFTCore(nn.Module):
         h = Linear(cfg.d_model, use_bias=False, dtype=self.dtype,
                    name="proj_in")(x.astype(self.dtype))
         h, kv_cache = DiT(cfg, dtype=self.dtype, name="transformer")(
-            h, t_cond, doc_id, kv_cache, write, decoding, deterministic)
+            h, t_cond, doc_id, kv_cache, write, decoding, deterministic,
+            write_len)
         pred = FinalLayer(cfg.d_model, cfg.channels, dtype=self.dtype,
                           name="proj_out")(h, t_cond)
         return pred, kv_cache

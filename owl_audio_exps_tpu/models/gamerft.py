@@ -49,7 +49,9 @@ class GameRFTCore(nn.Module):
     def __call__(self, x, t, mouse=None, btn=None, doc_id=None,
                  has_controls=None, kv_cache: Optional[KVCache] = None,
                  write: bool = False, decoding: bool = False,
-                 deterministic: bool = True):
+                 deterministic: bool = True, write_len=None):
+        # write_len: commit only the first write_len FRAMES' KV (fused
+        # write-forward, see nn/attn.py DiT); None commits the whole input
         cfg = self.config
         assert cfg.backbone == "dit"
         assert cfg.tokens_per_frame == cfg.sample_size ** 2
@@ -80,7 +82,8 @@ class GameRFTCore(nn.Module):
         tokens = proj_cls(cfg.d_model, use_bias=False, dtype=self.dtype,
                           name="proj_in")(tokens.astype(self.dtype))
         tokens, kv_cache = DiT(cfg, dtype=self.dtype, name="transformer")(
-            tokens, cond, doc_id, kv_cache, write, decoding, deterministic)
+            tokens, cond, doc_id, kv_cache, write, decoding, deterministic,
+            None if write_len is None else write_len * h * w)
         tokens = final_cls(cfg.d_model, cfg.channels, dtype=self.dtype,
                            name="proj_out")(tokens, cond)
         out = tokens.reshape(b, n, h, w, c).transpose(0, 1, 4, 2, 3)

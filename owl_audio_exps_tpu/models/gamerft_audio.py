@@ -36,7 +36,10 @@ class GameRFTAudioCore(nn.Module):
     @nn.compact
     def __call__(self, x, audio, t, mouse=None, btn=None, has_controls=None,
                  kv_cache: Optional[KVCache] = None, write: bool = False,
-                 decoding: bool = False, deterministic: bool = True):
+                 decoding: bool = False, deterministic: bool = True,
+                 write_len=None):
+        # write_len: commit only the first write_len FRAMES' KV (fused
+        # write-forward, see nn/attn.py DiT); None commits the whole input
         cfg = self.config
         backbone = cfg.get("backbone", "dit")
         b, n, c, h, w = x.shape
@@ -75,9 +78,15 @@ class GameRFTAudioCore(nn.Module):
             stream = stream.reshape(b, n * (h * w + 1), cfg.d_model)
 
             bk_cls = DiT if backbone == "dit" else UViT
+            wl = None if write_len is None else write_len * (h * w + 1)
+            if backbone == "uvit" and wl is not None:
+                raise NotImplementedError(
+                    "fused write-forward (write_len) is dit-only; "
+                    "disable fused_write for uvit serving")
             stream, kv_cache = bk_cls(cfg, dtype=self.dtype,
                                       name="transformer")(
-                stream, cond, None, kv_cache, write, decoding, deterministic)
+                stream, cond, None, kv_cache, write, decoding, deterministic,
+                **({} if wl is None else {"write_len": wl}))
 
             stream = stream.reshape(b, n, h * w + 1, cfg.d_model)
             video = stream[:, :, :-1].reshape(b, n * h * w, cfg.d_model)

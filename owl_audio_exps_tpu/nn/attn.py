@@ -100,6 +100,7 @@ def build_masks(
     kv_cache: Optional[KVCache],
     decoding: bool,
     allow_local_gather: bool = True,
+    write_len: Optional[int] = None,
 ):
     """Build the (local, global) masks for one forward pass.
 
@@ -144,9 +145,16 @@ def build_masks(
             local = glob
         return local, glob
 
-    local = decode_mask_from_cache(lrel, llength, q_len, tpf, local_w,
-                                   causal)
-    glob = decode_mask_from_cache(rel, length, q_len, tpf, global_w, causal)
+    # partial-commit (fused write-forward) eviction semantics: rows past
+    # the committed block see the post-commit ring (see decode_mask_from_
+    # cache docstring); wl=0 when the whole forward is committed
+    wl = 0 if (write_len is None or write_len >= q_len) else write_len
+    local = decode_mask_from_cache(
+        lrel, llength, q_len, tpf, local_w, causal,
+        write_len=wl, capacity=kv_cache.ring_view(True)[0])
+    glob = decode_mask_from_cache(
+        rel, length, q_len, tpf, global_w, causal,
+        write_len=wl, capacity=kv_cache.capacity)
     return local, glob
 
 
@@ -526,7 +534,8 @@ class DiT(nn.Module):
     @nn.compact
     def __call__(self, x, cond, doc_id=None, kv_cache: Optional[KVCache] = None,
                  write: bool = False, decoding: bool = False,
-                 deterministic: bool = True):
+                 deterministic: bool = True,
+                 write_len: Optional[int] = None):
         cfg = self.config
         flags = local_layer_flags(cfg)
         splash = use_splash_path(cfg, x.shape[1], kv_cache, decoding)
@@ -534,7 +543,8 @@ class DiT(nn.Module):
             local_mask = global_mask = None
         else:
             local_mask, global_mask = build_masks(
-                cfg, x.shape[1], doc_id, kv_cache, decoding)
+                cfg, x.shape[1], doc_id, kv_cache, decoding,
+                write_len=write_len if write else None)
 
         if use_scan_layers(cfg, kv_cache):
             local_idx = cfg.get("local_idx", 4) or 4
@@ -647,11 +657,20 @@ class DiT(nn.Module):
             if kv_write is not None:
                 writes.append(kv_write)
         if kv_cache is not None and write:
-            # one fused all-layer cache write + counter commit
+            # one fused all-layer cache write + counter commit.
+            # write_len < L commits only the LEADING write_len tokens'
+            # KV — the fused write-forward trick (sampling/audio_caching
+            # fused_write): a sampler folds the previous token's cache
+            # re-encode into the next token's first denoise forward as a
+            # 2-token causal forward, saving one full weight read per
+            # token. The trailing (in-flight denoise) tokens' KV is
+            # discarded here exactly as the separate denoise forwards
+            # discard theirs.
+            wl = x.shape[1] if write_len is None else write_len
             kv_cache = kv_cache.update_all(
-                jnp.stack([k for k, _ in writes]),
-                jnp.stack([v for _, v in writes]))
-            kv_cache = kv_cache.advance(x.shape[1])
+                jnp.stack([k[:, :, :wl] for k, _ in writes]),
+                jnp.stack([v[:, :, :wl] for _, v in writes]))
+            kv_cache = kv_cache.advance(wl)
         return x, kv_cache
 
 

@@ -73,6 +73,8 @@ def decode_mask_from_cache(
     tokens_per_frame: int,
     window_len: Optional[int] = None,
     is_causal: bool = True,
+    write_len: int = 0,
+    capacity: Optional[int] = None,
 ) -> jnp.ndarray:
     """Mask for cached decode over a ring-buffer KV cache.
 
@@ -80,6 +82,15 @@ def decode_mask_from_cache(
     (negative = invalid slot). ``cache_length``: scalar count of valid
     cached tokens. Queries are ``q_len`` new tokens logically appended at
     positions [cache_length, cache_length + q_len).
+
+    ``write_len`` > 0 (with ``capacity`` = ring token capacity): the
+    forward commits its first ``write_len`` new tokens to the ring
+    mid-flight (fused write-forward, nn/attn.py DiT write_len). Query
+    rows PAST the committed block must see the post-commit ring — a full
+    ring evicts its oldest ``write_len`` tokens at commit, so those
+    slots are masked for rows >= write_len. This keeps the fused 2-token
+    forward bit-identical in visibility to the sequential
+    write-then-decode schedule it replaces.
 
     Returns bool [q_len, S + q_len]: visibility over [cache slots | new
     tokens]. Matches the reference mask built from concatenated length
@@ -96,6 +107,13 @@ def decode_mask_from_cache(
     frame_kv = (kv_abs // tokens_per_frame)[None, :]
 
     mask = valid[None, :]
+    if write_len and capacity is not None:
+        evict = jnp.maximum(cache_length + write_len - capacity, 0)
+        post_row = (jnp.arange(q_len, dtype=jnp.int32)
+                    >= write_len)[:, None]
+        surviving = jnp.concatenate(
+            [slot_rel_idx >= evict, jnp.ones((q_len,), dtype=bool)])
+        mask = mask & (~post_row | surviving[None, :])
     if window_len is not None:
         mask = mask & (jnp.abs(frame_q - frame_kv) < window_len)
     if is_causal:

@@ -35,13 +35,21 @@ class AudioCachingSampler:
 
     def __init__(self, n_steps: int = 16, num_tokens: int = 120,
                  noise_prev: float = 0.2, custom_schedule=None,
-                 max_window=None, **_):
+                 max_window=None, fused_write: bool = True, **_):
         self.n_steps = n_steps
         self.num_tokens = num_tokens
         self.noise_prev = noise_prev
         self.custom_schedule = (list(custom_schedule)
                                 if custom_schedule is not None else None)
         self.max_window = max_window
+        # fused_write: fold token i's cache re-encode into token i+1's
+        # FIRST denoise forward as one 2-token causal forward with a
+        # partial (write_len=1) ring commit — n_steps weight reads per
+        # token instead of n_steps + 1 (the serve loop is weight-HBM-
+        # bound, PERF.md). Math is exactly the separate-forward schedule:
+        # the deferred token attends to [ring | itself] either way, and
+        # the new token sees its KV in-flight instead of from the ring.
+        self.fused_write = fused_write
         self._jit = JitCache()
 
     def __call__(self, core, params, x, rng, decode_fn=None, vae_scale=1.0):
@@ -71,16 +79,46 @@ class AudioCachingSampler:
         rng, r_ctx = jax.random.split(rng)
         noisy_ctx = zlerp(r_ctx, x, self.noise_prev)
         t_ctx = jnp.full((b, init_len), self.noise_prev, dtype=x.dtype)
-        _, cache = core.apply(params, noisy_ctx, t_ctx,
-                              kv_cache=cache, write=True)
+        fused = self.fused_write
+        if fused:
+            # defer the LAST context token: it becomes the first fused
+            # forward's pending write (its attention set — [ring | self]
+            # — is identical either way)
+            if init_len > 1:
+                _, cache = core.apply(params, noisy_ctx[:, :-1],
+                                      t_ctx[:, :-1], kv_cache=cache,
+                                      write=True)
+            pending0 = noisy_ctx[:, -1:]
+        else:
+            _, cache = core.apply(params, noisy_ctx, t_ctx,
+                                  kv_cache=cache, write=True)
+            pending0 = jnp.zeros((b, 1, c), x.dtype)  # unused
+
+        t_prev = jnp.full((b, 1), self.noise_prev, dtype=x.dtype)
 
         # ---- generate tokens one at a time
         def gen_step(carry, _):
-            cache, rng = carry
+            cache, pending, rng = carry
             rng, r_init, r_renoise = jax.random.split(rng, 3)
             cur = jax.random.normal(r_init, (b, 1, c),
                                     jnp.float32).astype(x.dtype)
             t = jnp.ones((b, 1), x.dtype)
+
+            if fused:
+                # ONE forward: [pending@noise_prev, cur@1.0] — commits
+                # pending's KV (write_len=1) and yields cur's first
+                # velocity, saving the separate re-encode weight read
+                x2 = jnp.concatenate([pending, cur], axis=1)
+                t2 = jnp.concatenate([t_prev, t], axis=1)
+                pred2, cache = core.apply(params, x2, t2, kv_cache=cache,
+                                          write=True, write_len=1)
+                new = (cur.astype(jnp.float32)
+                       - float(dt[0]) * pred2[:, -1:].astype(jnp.float32))
+                cur = new.astype(cur.dtype)
+                t = (t.astype(jnp.float32) - float(dt[0])).astype(t.dtype)
+                dt_rest = dt[1:]
+            else:
+                dt_rest = dt
 
             def denoise(state, dt_i):
                 cur, t = state
@@ -91,15 +129,18 @@ class AudioCachingSampler:
                 return (new.astype(cur.dtype),
                         (t.astype(jnp.float32) - dt_i).astype(t.dtype)), None
 
-            (cur, t) = scan_or_unroll(
-                denoise, (cur, t), dt,
-                unroll=core.config.tokens_per_frame > 1)
+            if len(dt_rest):
+                (cur, t) = scan_or_unroll(
+                    denoise, (cur, t), dt_rest,
+                    unroll=core.config.tokens_per_frame > 1)
 
             noisy = zlerp(r_renoise, cur, self.noise_prev)
+            if fused:
+                return (cache, noisy, rng), cur[:, 0]
             t_noisy = jnp.full_like(t, self.noise_prev)
             _, cache = core.apply(params, noisy, t_noisy, kv_cache=cache,
                                   write=True, decoding=True)
-            return (cache, rng), cur[:, 0]
+            return (cache, pending, rng), cur[:, 0]
 
         # sessions longer than the RoPE table: scan in segments with an
         # exact ring rebase between them (rope_rebase_plan — the rebase
@@ -108,10 +149,10 @@ class AudioCachingSampler:
         table_f, delta_f, rebase = rope_rebase_plan(core.config, capacity)
         segs = rope_rebase_segments(init_len, self.num_tokens,
                                     table_f, delta_f)
-        carry, chunks = (cache, rng), []
+        carry, chunks = (cache, pending0, rng), []
         for si, seg in enumerate(segs):
             if si:
-                carry = (rebase(carry[0]), carry[1])
+                carry = (rebase(carry[0]),) + carry[1:]
             carry, toks = jax.lax.scan(gen_step, carry, None, length=seg)
             chunks.append(toks)
         tokens = (jnp.concatenate(chunks, axis=0) if len(chunks) > 1

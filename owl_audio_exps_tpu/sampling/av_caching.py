@@ -42,7 +42,8 @@ class AVCachingSamplerV2:
                  num_frames: int = 60, noise_prev: float = 0.2,
                  max_window=None, custom_schedule=None,
                  only_return_generated: bool = False,
-                 loop_mode: str = "auto", chunked_prefill="auto", **_):
+                 loop_mode: str = "auto", chunked_prefill="auto",
+                 fused_write: bool = True, **_):
         self.n_steps = n_steps
         self.cfg_scale = cfg_scale
         self.num_frames = num_frames
@@ -53,6 +54,13 @@ class AVCachingSamplerV2:
         self.only_return_generated = only_return_generated
         assert loop_mode in ("auto", "scan", "host")
         self.loop_mode = loop_mode
+        # fused_write: fold frame i's cache re-encode into frame i+1's
+        # first CONDITIONAL denoise forward as one 2-frame causal forward
+        # with a partial (write_len=1 frame) ring commit — n_steps(+cfg)
+        # weight reads per frame instead of n_steps(+cfg) + 1. Exactly
+        # the separate-forward schedule (see sampling/audio_caching.py);
+        # the pending frame rides the scan carry with its own controls.
+        self.fused_write = fused_write
         # chunked prefill: write context frame-by-frame through the
         # decode path instead of one whole-context forward. Exactly
         # equivalent (autoregressive caching identity; frame-internal
@@ -131,17 +139,27 @@ class AVCachingSamplerV2:
         # aliased output into a *different* executable is rejected by
         # remote-relay TPU backends (INVALID_ARGUMENT); tick->tick
         # self-chains are fine.
+        fused = self.fused_write
+
         @jax.jit
         def prefill(params, cache, x, mouse, btn, rng):
             rng, r_ctx = jax.random.split(rng)
             noisy_ctx = zlerp(r_ctx, x, self.noise_prev)
             t_ctx = jnp.full((b, x.shape[1]), self.noise_prev, dtype=dtype)
-            cache = self._prefill_cache(core, params, cache, noisy_ctx,
-                                        t_ctx, mouse, btn, capacity)
-            return cache, rng
+            if fused:
+                if x.shape[1] > 1:
+                    cache = self._prefill_cache(
+                        core, params, cache, noisy_ctx[:, :-1],
+                        t_ctx[:, :-1], mouse, btn, capacity)
+                pending = noisy_ctx[:, -1:]
+            else:
+                cache = self._prefill_cache(core, params, cache, noisy_ctx,
+                                            t_ctx, mouse, btn, capacity)
+                pending = jnp.zeros_like(noisy_ctx[:, -1:])
+            return cache, pending, rng
 
         @partial(jax.jit, donate_argnums=(1,))
-        def tick(params, cache, rng, mouse, btn, idx):
+        def tick(params, cache, pending, rng, mouse, btn, idx):
             rng, r_init, r_renoise = jax.random.split(rng, 3)
             cur = jax.random.normal(r_init, (b, 1, c, h, w),
                                     jnp.float32).astype(dtype)
@@ -151,6 +169,33 @@ class AVCachingSamplerV2:
             cur_btn = jax.lax.dynamic_slice_in_dim(btn, start, 1, axis=1)
             null_mouse = jnp.zeros_like(cur_mouse)
             null_btn = jnp.zeros_like(cur_btn)
+
+            if fused:
+                p_mouse = jax.lax.dynamic_slice_in_dim(
+                    mouse, start - 1, 1, axis=1)
+                p_btn = jax.lax.dynamic_slice_in_dim(
+                    btn, start - 1, 1, axis=1)
+                x2 = jnp.concatenate([pending, cur], axis=1)
+                t2 = jnp.concatenate(
+                    [jnp.full((b, 1), self.noise_prev, dtype), t], axis=1)
+                pred2, cache = core.apply(
+                    params, x2, t2,
+                    jnp.concatenate([p_mouse, cur_mouse], axis=1),
+                    jnp.concatenate([p_btn, cur_btn], axis=1),
+                    kv_cache=cache, write=True, write_len=1)
+                pred = pred2[:, -1:]
+                if self.cfg_scale != 1.0:
+                    pred_u, _ = core.apply(params, cur, t, null_mouse,
+                                           null_btn, kv_cache=cache,
+                                           decoding=True)
+                    pred = pred_u + self.cfg_scale * (pred - pred_u)
+                new = (cur.astype(jnp.float32)
+                       - float(dt[0]) * pred.astype(jnp.float32))
+                cur = new.astype(cur.dtype)
+                t = (t.astype(jnp.float32) - float(dt[0])).astype(t.dtype)
+                dt_rest = dt[1:]
+            else:
+                dt_rest = dt
 
             def denoise(state, dt_i):
                 cur, t = state
@@ -165,15 +210,18 @@ class AVCachingSamplerV2:
                 return (new.astype(cur.dtype),
                         (t.astype(jnp.float32) - dt_i).astype(t.dtype)), None
 
-            (cur, t) = scan_or_unroll(
-                denoise, (cur, t), dt,
-                unroll=core.config.tokens_per_frame > 1)
+            if len(dt_rest):
+                (cur, t) = scan_or_unroll(
+                    denoise, (cur, t), dt_rest,
+                    unroll=core.config.tokens_per_frame > 1)
 
             noisy = zlerp(r_renoise, cur, self.noise_prev)
+            if fused:
+                return cache, noisy, rng, cur[:, 0]
             t_noisy = jnp.full_like(t, self.noise_prev)
             _, cache = core.apply(params, noisy, t_noisy, cur_mouse, cur_btn,
                                   kv_cache=cache, write=True, decoding=True)
-            return cache, rng, cur[:, 0]
+            return cache, pending, rng, cur[:, 0]
 
         return prefill, tick, capacity
 
@@ -190,7 +238,7 @@ class AVCachingSamplerV2:
                 core, num_frames, b, init_len, c, h, w, x.dtype))
         cache = KVCache.from_config(core.config, b, capacity_frames=capacity,
                                     dtype=x.dtype)
-        cache, rng = prefill(params, cache, x, mouse, btn, rng)
+        cache, pending, rng = prefill(params, cache, x, mouse, btn, rng)
         # host drives the loop, so it KNOWS the write offset — rebase is
         # a separate (rare) jitted call between ticks, never inside the
         # per-tick fast path. Un-donated: its fresh output feeds the
@@ -203,8 +251,8 @@ class AVCachingSamplerV2:
             if rebase_jit is not None and off + 1 > table_f:
                 cache = rebase_jit(cache)
                 off -= delta_f
-            cache, rng, cur = tick(params, cache, rng, mouse, btn,
-                                   np.int32(i))
+            cache, pending, rng, cur = tick(params, cache, pending, rng,
+                                            mouse, btn, np.int32(i))
             off += 1
             frames.append(cur)
         out = jnp.concatenate([x, jnp.stack(frames, axis=1)], axis=1)
@@ -224,12 +272,23 @@ class AVCachingSamplerV2:
         rng, r_ctx = jax.random.split(rng)
         noisy_ctx = zlerp(r_ctx, x, self.noise_prev)
         t_ctx = jnp.full((b, init_len), self.noise_prev, dtype=x.dtype)
-        cache = self._prefill_cache(core, params, cache, noisy_ctx, t_ctx,
-                                    mouse, btn, capacity)
+        fused = self.fused_write
+        if fused:
+            # defer the LAST context frame: it becomes the first fused
+            # forward's pending write (identical attention set)
+            if init_len > 1:
+                cache = self._prefill_cache(
+                    core, params, cache, noisy_ctx[:, :-1], t_ctx[:, :-1],
+                    mouse, btn, capacity)
+            pending0 = noisy_ctx[:, -1:]
+        else:
+            cache = self._prefill_cache(core, params, cache, noisy_ctx,
+                                        t_ctx, mouse, btn, capacity)
+            pending0 = jnp.zeros((b, 1, c, h, w), x.dtype)  # unused
 
         # ---- STEP 2/3: frame loop
         def gen_step(carry, idx):
-            cache, rng = carry
+            cache, pending, rng = carry
             rng, r_init, r_renoise = jax.random.split(rng, 3)
             cur = jax.random.normal(r_init, (b, 1, c, h, w),
                                     jnp.float32).astype(x.dtype)
@@ -240,6 +299,37 @@ class AVCachingSamplerV2:
             cur_btn = jax.lax.dynamic_slice_in_dim(btn, start, 1, axis=1)
             null_mouse = jnp.zeros_like(cur_mouse)
             null_btn = jnp.zeros_like(cur_btn)
+
+            if fused:
+                # ONE forward: [pending@noise_prev (its own controls),
+                # cur@1.0] — commits pending's KV (write_len=1 frame) and
+                # yields cur's first conditional velocity
+                p_mouse = jax.lax.dynamic_slice_in_dim(
+                    mouse, start - 1, 1, axis=1)
+                p_btn = jax.lax.dynamic_slice_in_dim(
+                    btn, start - 1, 1, axis=1)
+                x2 = jnp.concatenate([pending, cur], axis=1)
+                t2 = jnp.concatenate(
+                    [jnp.full((b, 1), self.noise_prev, x.dtype), t], axis=1)
+                pred2, cache = core.apply(
+                    params, x2, t2,
+                    jnp.concatenate([p_mouse, cur_mouse], axis=1),
+                    jnp.concatenate([p_btn, cur_btn], axis=1),
+                    kv_cache=cache, write=True, write_len=1)
+                pred = pred2[:, -1:]
+                if self.cfg_scale != 1.0:
+                    # uncond leg runs post-commit: pending is in the ring
+                    pred_u, _ = core.apply(params, cur, t, null_mouse,
+                                           null_btn, kv_cache=cache,
+                                           decoding=True)
+                    pred = pred_u + self.cfg_scale * (pred - pred_u)
+                new = (cur.astype(jnp.float32)
+                       - float(dt[0]) * pred.astype(jnp.float32))
+                cur = new.astype(cur.dtype)
+                t = (t.astype(jnp.float32) - float(dt[0])).astype(t.dtype)
+                dt_rest = dt[1:]
+            else:
+                dt_rest = dt
 
             def denoise(state, dt_i):
                 cur, t = state
@@ -254,25 +344,28 @@ class AVCachingSamplerV2:
                 return (new.astype(cur.dtype),
                         (t.astype(jnp.float32) - dt_i).astype(t.dtype)), None
 
-            (cur, t) = scan_or_unroll(
-                denoise, (cur, t), dt,
-                unroll=core.config.tokens_per_frame > 1)
+            if len(dt_rest):
+                (cur, t) = scan_or_unroll(
+                    denoise, (cur, t), dt_rest,
+                    unroll=core.config.tokens_per_frame > 1)
 
             noisy = zlerp(r_renoise, cur, self.noise_prev)
+            if fused:
+                return (cache, noisy, rng), cur[:, 0]
             t_noisy = jnp.full_like(t, self.noise_prev)
             _, cache = core.apply(params, noisy, t_noisy, cur_mouse, cur_btn,
                                   kv_cache=cache, write=True, decoding=True)
-            return (cache, rng), cur[:, 0]
+            return (cache, pending, rng), cur[:, 0]
 
         # sessions longer than the RoPE table: scan in segments with an
         # exact ring rebase between them (rope_rebase_plan) — the rebase
         # stays OUTSIDE the scan so the per-frame fast path is untouched
         table_f, delta_f, rebase = rope_rebase_plan(core.config, capacity)
         segs = rope_rebase_segments(init_len, num_frames, table_f, delta_f)
-        carry, chunks, idx0 = (cache, rng), [], 0
+        carry, chunks, idx0 = (cache, pending0, rng), [], 0
         for si, seg in enumerate(segs):
             if si:
-                carry = (rebase(carry[0]), carry[1])
+                carry = (rebase(carry[0]),) + carry[1:]
             carry, fr = jax.lax.scan(
                 gen_step, carry,
                 jnp.arange(idx0, idx0 + seg, dtype=jnp.int32))

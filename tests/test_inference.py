@@ -88,7 +88,10 @@ def test_cached_streaming_pipeline():
     pipe = CachedStreamingPipeline(core, params, cfg, window_frames=8,
                                    sampling_steps=2)
     pipe.prime(jnp.zeros((1, 3, 4, 2, 2), jnp.bfloat16), m[:, :3], b[:, :3])
-    assert int(pipe.cache.length) == 12  # 3 frames x 4 tokens
+    # fused write-forward: 2 of 3 context frames committed, the last one
+    # pends into the first tick's fused forward
+    assert int(pipe.cache.length) == 8
+    assert pipe._pending is not None
 
     for i in range(10):  # runs past the ring capacity (eviction)
         frame, _, _ = pipe(np.zeros(2), np.zeros(3))
@@ -120,7 +123,8 @@ def test_av_cached_streaming_pipeline():
     pipe = AVCachedStreamingPipeline(core, params, cfg, window_frames=6,
                                      sampling_steps=2)
     pipe.prime(x, a, m, b)
-    assert int(pipe.cache.length) == 3 * 5  # 3 frames x 5 tokens
+    # fused write-forward: last context frame pends into the first tick
+    assert int(pipe.cache.length) == 2 * 5
 
     # run well past both the ring capacity AND the RoPE table horizon
     # (n_frames=8 + headroom) so eviction and rebase both execute
