@@ -168,7 +168,12 @@ class KVCache:
                dtype=jnp.bfloat16, shadow: int = 0,
                local_flags: Optional[Tuple[bool, ...]] = None,
                local_capacity: int = 0, quant: bool = False) -> "KVCache":
-        zero = jnp.zeros((), dtype=jnp.int32)
+        # NB: each counter gets its OWN zero buffer. A fresh cache may be
+        # donated whole on the first fused tick (inference/pipeline.py); a
+        # shared scalar would make XLA reject the execute with "Attempt to
+        # donate the same buffer twice".
+        def zero():
+            return jnp.zeros((), dtype=jnp.int32)
         ring_dtype = jnp.int8 if quant else dtype
 
         def scales(shape):
@@ -185,7 +190,7 @@ class KVCache:
                 k=jnp.zeros(shape, dtype=ring_dtype),
                 v=jnp.zeros(shape, dtype=ring_dtype),
                 ks=scales(shape), vs=scales(shape),
-                start=zero, length=zero, rope_offset=zero,
+                start=zero(), length=zero(), rope_offset=zero(),
                 tokens_per_frame=tokens_per_frame, shadow=shadow,
             )
         groups = tuple(1 if f else 0 for f in local_flags)
@@ -207,8 +212,8 @@ class KVCache:
             lv=jnp.zeros(lshape, dtype=ring_dtype),
             ks=scales(gshape), vs=scales(gshape),
             lks=scales(lshape), lvs=scales(lshape),
-            start=zero, length=zero, lstart=zero, llength=zero,
-            rope_offset=zero,
+            start=zero(), length=zero(), lstart=zero(), llength=zero(),
+            rope_offset=zero(),
             tokens_per_frame=tokens_per_frame, shadow=0, lshadow=lshadow,
             groups=groups, slots=tuple(slots),
         )
@@ -410,10 +415,13 @@ class KVCache:
         return out
 
     def reset(self) -> "KVCache":
-        zero = jnp.zeros((), dtype=jnp.int32)
-        out = self.replace(start=zero, length=zero, rope_offset=zero)
+        # Distinct buffers per counter: a reset cache may be donated whole
+        # (see create()).
+        def zero():
+            return jnp.zeros((), dtype=jnp.int32)
+        out = self.replace(start=zero(), length=zero(), rope_offset=zero())
         if self.split:
-            out = out.replace(lstart=zero, llength=zero)
+            out = out.replace(lstart=zero(), llength=zero())
         return out
 
     # --------------------------------------------------------------- reads

@@ -277,3 +277,27 @@ def test_cached_pipeline_fused_unprimed_start():
     assert pipe._pending is not None
     # fused ticks lag the ring by one frame: 3 ticks -> 2 committed
     assert int(pipe.cache.length) == 2 * 4
+
+def test_fresh_cache_has_no_aliased_buffers():
+    """Aliasing audit: donating a fresh/reset cache whole must be safe —
+    no two leaves may share an on-device buffer (XLA rejects a double
+    donation of the same buffer; serve contract of
+    reference inference/causvid_pipeline.py:112-163, a session may start
+    from zero buffers)."""
+    from owl_audio_exps_tpu.nn.kv_cache import KVCache
+
+    def audit(cache):
+        leaves = jax.tree_util.tree_leaves(cache)
+        ptrs = [l.unsafe_buffer_pointer() for l in leaves]
+        assert len(ptrs) == len(set(ptrs)), "aliased leaves in KVCache"
+
+    plain = KVCache.create(n_layers=3, batch_size=1, capacity=8,
+                           n_heads=2, head_dim=4, tokens_per_frame=4)
+    split = KVCache.create(n_layers=3, batch_size=1, capacity=16,
+                           n_heads=2, head_dim=4, tokens_per_frame=4,
+                           local_flags=(True, False, True),
+                           local_capacity=8)
+    quant = KVCache.create(n_layers=2, batch_size=1, capacity=8,
+                           n_heads=2, head_dim=4, quant=True)
+    for c in (plain, split, quant, plain.reset(), split.reset()):
+        audit(c)
