@@ -256,6 +256,13 @@ def main():
     parser.add_argument("--ticks", type=int, default=None,
                         help="stop after N ticks (default: run until quit)")
     parser.add_argument("--headless", action="store_true")
+    parser.add_argument("--vae", default=None,
+                        choices=[None, "dcae", "pixel_shuffle"],
+                        help="decode frames to pixels through this video "
+                             "VAE (reference uses dcae, "
+                             "owl_vae_bridge.py:21-25)")
+    parser.add_argument("--vae_ckpt", default=None,
+                        help="torch state_dict for the video VAE decoder")
     args = parser.parse_args()
 
     import jax
@@ -288,16 +295,24 @@ def main():
     elif "params" not in params:
         params = {"params": params}
 
+    frame_decode_fn = None
+    if args.vae:
+        from owl_audio_exps_tpu.utils.owl_vae_bridge import (
+            get_decoder_only, make_batched_decode_fn)
+        dec = get_decoder_only(args.vae, ckpt_path=args.vae_ckpt,
+                               latent_channels=m.channels)
+        frame_decode_fn = make_batched_decode_fn(dec, batch_size=1)
+
     kind = args.pipeline
     if kind == "av_cached" or (kind == "cached" and has_audio):
         pipe = AVCachedStreamingPipeline(
             core, params, m, window_frames=args.window_frames,
-            sampling_steps=args.steps)
+            sampling_steps=args.steps, frame_decode_fn=frame_decode_fn)
         pipe.prime(ctx, aud, mouse, btn)
     elif kind == "cached":
         pipe = CachedStreamingPipeline(
             core, params, m, window_frames=args.window_frames,
-            sampling_steps=args.steps)
+            sampling_steps=args.steps, frame_decode_fn=frame_decode_fn)
         pipe.prime(ctx, mouse, btn)
     else:
         pipe = CausvidPipeline(core, params, m, window_length=60,

@@ -70,7 +70,14 @@ class S3CoDLoader:
     def __init__(self, batch_size: int, bucket_name: str, prefix: str = "",
                  window_length: int = 16, file_share_max: int = 50,
                  queue_size: int = 1000, max_inflight_tars: int = 2,
-                 process_index: int = 0, **_):
+                 process_index: int = 0, include_audio: bool = False,
+                 zero_controls: bool = False, n_buttons: int = 11,
+                 n_mouse_axes: int = 2, **_):
+        # include_audio: also unpack ``.audiolatent.pt`` members and yield
+        # [vid, audio, mouse, btn] (the mixed-AV tar schema, reference
+        # s3_cod_latent_mixed.py:177-215). zero_controls: the tar has no
+        # control members (unconditional prefix) — synthesize zeros
+        # (reference s3_cod_latent_mixed.py:190-193).
         try:
             import boto3  # noqa: F401
         except ImportError as e:
@@ -84,6 +91,11 @@ class S3CoDLoader:
         self.batch_size = batch_size
         self.window_length = window_length
         self.file_share_max = file_share_max
+        self.include_audio = include_audio
+        self.zero_controls = zero_controls
+        self.n_buttons = n_buttons
+        self.n_mouse_axes = n_mouse_axes
+        self.n_cols = 4 if include_audio else 3
         self.queue = RandomizedQueue(queue_size, seed=process_index)
         self._tar_queue: "List[bytes]" = []
         self._tar_lock = threading.Semaphore(max_inflight_tars)
@@ -129,22 +141,35 @@ class S3CoDLoader:
                 time.sleep(0.1)
 
     def _unpack_tar(self, data: bytes):
+        suffixes = [".latent.pt"]
+        if not self.zero_controls:
+            suffixes += [".mouse.pt", ".buttons.pt"]
+        if self.include_audio:
+            suffixes.append(".audiolatent.pt")
         groups = {}
         with tarfile.open(fileobj=io.BytesIO(data)) as tf:
             for member in tf.getmembers():
                 name = member.name
-                for suffix in (".latent.pt", ".mouse.pt", ".buttons.pt"):
+                for suffix in suffixes:
                     if name.endswith(suffix):
                         stem = name[: -len(suffix)]
                         groups.setdefault(stem, {})[suffix] = \
                             _load_pt(tf.extractfile(member).read())
         for stem, parts in groups.items():
-            if len(parts) != 3:
+            if len(parts) != len(suffixes):
                 continue
             vid = parts[".latent.pt"]
-            mouse = parts[".mouse.pt"]
-            btn = parts[".buttons.pt"]
+            if self.zero_controls:
+                mouse = np.zeros((vid.shape[0], self.n_mouse_axes),
+                                 np.float32)
+                btn = np.zeros((vid.shape[0], self.n_buttons), np.float32)
+            else:
+                mouse = parts[".mouse.pt"]
+                btn = parts[".buttons.pt"]
+            audio = parts.get(".audiolatent.pt")
             n = vid.shape[0]
+            if audio is not None:
+                n = min(n, audio.shape[0], mouse.shape[0], btn.shape[0])
             if n < self.window_length:
                 continue
             for _ in range(min(self.file_share_max,
@@ -153,13 +178,15 @@ class S3CoDLoader:
                 e = s + self.window_length
                 item = (np.clip(np.nan_to_num(vid[s:e]), -8, 8),
                         mouse[s:e], btn[s:e])
+                if audio is not None:
+                    item = item + (audio[s:e],)
                 self.queue.put(item)
 
     def __iter__(self):
         while True:
             items = [self.queue.get() for _ in range(self.batch_size)]
             yield [np.stack([it[j] for it in items]).astype(np.float32)
-                   for j in range(3)]
+                   for j in range(self.n_cols)]
 
     def sleep_until_queues_filled(self, min_items: Optional[int] = None):
         """Startup barrier (reference: s3_cod_latent_mixed.py:121-145)."""

@@ -3,8 +3,12 @@ benchmarks, smoke tests, and CI. (Framework extension; the reference has
 no offline-testable data source.)
 
 data_ids: ``synthetic_latent`` (video [b,n,c,h,w] + mouse + buttons),
-``synthetic_av`` (adds audio [b,n,c_a]), ``synthetic_audio_latent``
-([b,n,c]), ``synthetic_waveform`` ([b,n_samples,2]).
+``synthetic_av`` (adds audio [b,n,c_a]), ``synthetic_mixed`` (the mixed
+labelled/unlabelled AV quintuple [vid, audio, mouse, btn, has_controls],
+matching the reference mixed collate order
+owl_wms/data/s3_cod_latent_mixed.py:247-256 — unlabelled rows get zeroed
+controls), ``synthetic_audio_latent`` ([b,n,c]), ``synthetic_waveform``
+([b,n_samples,2]).
 """
 
 from __future__ import annotations
@@ -13,12 +17,17 @@ import numpy as np
 
 
 class SyntheticLoader:
-    def __init__(self, batch_size: int, spec, seed: int = 0):
+    def __init__(self, batch_size: int, spec, seed: int = 0,
+                 mixed: bool = False):
         """spec: list of (shape_without_batch, kind) where kind in
-        {'normal', 'binary'}."""
+        {'normal', 'binary', 'flag'}. With ``mixed``, the last column must
+        be a 'flag' [b] bool mask and the mouse/btn columns (index -3/-2)
+        are zeroed where the flag is False (unlabelled rows, reference
+        s3_cod_latent_mixed.py:190-193)."""
         self.batch_size = batch_size
         self.spec = spec
         self.seed = seed
+        self.mixed = mixed
 
     def __iter__(self):
         rs = np.random.RandomState(self.seed)
@@ -26,10 +35,17 @@ class SyntheticLoader:
             out = []
             for shape, kind in self.spec:
                 full = (self.batch_size,) + tuple(shape)
-                if kind == "binary":
+                if kind == "flag":
+                    out.append(rs.rand(*full) > 0.5)
+                elif kind == "binary":
                     out.append((rs.rand(*full) > 0.5).astype(np.float32))
                 else:
                     out.append(rs.randn(*full).astype(np.float32))
+            if self.mixed:
+                flags = out[-1]
+                for col in (-3, -2):  # mouse, btn
+                    out[col] = np.where(flags[:, None, None], out[col], 0.0
+                                        ).astype(np.float32)
             yield out  # always a list, even for single-column specs
 
 
@@ -48,10 +64,13 @@ def get_loader(data_id, batch_size, window_length=16, channels=128,
                 ((window_length, n_mouse_axes), "normal"),
                 ((window_length, n_buttons), "binary")]
     elif data_id == "synthetic_mixed":
+        # [vid, audio, mouse, btn, has_controls] — reference collate order
         spec = [((window_length, channels, sample_size, sample_size), "normal"),
+                ((window_length, audio_channels), "normal"),
                 ((window_length, n_mouse_axes), "normal"),
                 ((window_length, n_buttons), "binary"),
-                ((), "binary")]  # has_controls flag per sample
+                ((), "flag")]  # has_controls flag per sample
+        return SyntheticLoader(batch_size, spec, seed, mixed=True)
     elif data_id == "synthetic_audio_latent":
         spec = [((window_length, channels), "normal")]
     elif data_id == "synthetic_waveform":

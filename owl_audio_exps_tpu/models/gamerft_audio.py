@@ -79,10 +79,6 @@ class GameRFTAudioCore(nn.Module):
 
             bk_cls = DiT if backbone == "dit" else UViT
             wl = None if write_len is None else write_len * (h * w + 1)
-            if backbone == "uvit" and wl is not None:
-                raise NotImplementedError(
-                    "fused write-forward (write_len) is dit-only; "
-                    "disable fused_write for uvit serving")
             stream, kv_cache = bk_cls(cfg, dtype=self.dtype,
                                       name="transformer")(
                 stream, cond, None, kv_cache, write, decoding, deterministic,

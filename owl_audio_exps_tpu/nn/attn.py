@@ -149,6 +149,15 @@ def build_masks(
     # the committed block see the post-commit ring (see decode_mask_from_
     # cache docstring); wl=0 when the whole forward is committed
     wl = 0 if (write_len is None or write_len >= q_len) else write_len
+    if wl and global_w is not None and \
+            global_w * tpf < kv_cache.capacity:
+        # decode-mode visibility is validity-only (masks skipped in the
+        # reference); a finite global_window here would make fused vs
+        # unfused ticks diverge. No config sets one — enforce it.
+        raise ValueError(
+            "fused write-forward (write_len) requires global_window=None "
+            "or >= ring capacity: decode masks are validity-only, so a "
+            "finite global window would break fused/unfused equivalence")
     local = decode_mask_from_cache(
         lrel, llength, q_len, tpf, local_w, causal,
         write_len=wl, capacity=kv_cache.ring_view(True)[0])
@@ -796,19 +805,30 @@ class UViT(nn.Module):
     @nn.compact
     def __call__(self, x, cond, doc_id=None, kv_cache: Optional[KVCache] = None,
                  write: bool = False, decoding: bool = False,
-                 deterministic: bool = True):
+                 deterministic: bool = True,
+                 write_len: Optional[int] = None):
         cfg = self.config
-        _, global_mask = build_masks(cfg, x.shape[1], doc_id, kv_cache, decoding)
+        splash = use_splash_path(cfg, x.shape[1], kv_cache, decoding)
+        if splash:
+            global_mask = None
+        else:
+            _, global_mask = build_masks(
+                cfg, x.shape[1], doc_id, kv_cache, decoding,
+                write_len=write_len if write else None)
 
         n_blocks = cfg.n_layers
         mid = n_blocks // 2
 
         writes = []
+        block_cls = DiTBlock
+        if cfg.get("gradient_checkpointing", False) and kv_cache is None:
+            block_cls = nn.remat(DiTBlock, static_argnums=(5, 6, 8))
 
         def run_block(i, x):
-            x, kv_write = DiTBlock(cfg, i, False, dtype=self.dtype,
-                                   name=f"blocks_{i}")(
-                x, cond, global_mask, kv_cache, write)
+            x, kv_write = block_cls(cfg, i, False, dtype=self.dtype,
+                                    name=f"blocks_{i}")(
+                x, cond, global_mask, kv_cache, write, splash, doc_id,
+                decoding)
             if kv_write is not None:
                 writes.append(kv_write)
             return x
@@ -827,8 +847,11 @@ class UViT(nn.Module):
                                name=f"skip_projs_{skip_idx}")(x, early_feat, cond)
             x = run_block(i, x)
         if kv_cache is not None and write:
+            # fused all-layer write + counter commit; write_len < L commits
+            # only the leading tokens' KV (fused write-forward — see DiT)
+            wl = x.shape[1] if write_len is None else write_len
             kv_cache = kv_cache.update_all(
-                jnp.stack([k for k, _ in writes]),
-                jnp.stack([v for _, v in writes]))
-            kv_cache = kv_cache.advance(x.shape[1])
+                jnp.stack([k[:, :, :wl] for k, _ in writes]),
+                jnp.stack([v[:, :, :wl] for _, v in writes]))
+            kv_cache = kv_cache.advance(wl)
         return x, kv_cache

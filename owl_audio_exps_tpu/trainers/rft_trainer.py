@@ -306,6 +306,14 @@ class AVRFTTrainer(RFTFamilyTrainer):
         out_dir = self.train_cfg.get("eval_media_dir")
         if not out_dir or not self.is_main:
             return
+        # samplers may return differently-extended latent vs control
+        # streams (window samplers trim context) — crop all to the
+        # common trailing window so frames/controls stay frame-aligned
+        n = min(video_latents.shape[1], audio_latents.shape[1],
+                mouse.shape[1], btn.shape[1])
+        video_latents, audio_latents, mouse, btn = (
+            video_latents[:, -n:], audio_latents[:, -n:],
+            mouse[:, -n:], btn[:, -n:])
         from ..utils.owl_vae_bridge import (
             get_decoder_only, get_audio_encoder_decoder,
             make_batched_decode_fn, make_batched_audio_decode_fn)
@@ -334,23 +342,32 @@ class AVRFTTrainer(RFTFamilyTrainer):
                        buttons=np.asarray(btn[0], dtype=np.float32))
 
 
-class MixedAVRFTTrainer(RFTTrainer):
-    """Video RFT on mixed labelled/unlabelled controls
-    (reference: mixed_av_trainer.py:20-223). Batch:
-    [vid, mouse, btn, has_controls]; logs the unlabelled proportion."""
+class MixedAVRFTTrainer(AVRFTTrainer):
+    """JOINT AV RFT on mixed labelled/unlabelled controls (reference:
+    mixed_av_trainer.py:154-162 — ``self.model(batch_vid, batch_audio,
+    batch_mouse, batch_btn, has_controls=cfg_mask)``). Batch follows the
+    mixed collate order [vid, audio, mouse, btn, has_controls]; logs the
+    unlabelled proportion (mixed_av_trainer.py:190)."""
 
-    model_id = "game_rft"
+    model_id = "game_rft_audio"
+
+    def example_batch(self):
+        c = self.model_cfg
+        b = self.train_cfg.batch_size
+        return super().example_batch() + [np.ones((b,), dtype=bool)]
 
     def loss_fn(self, params, batch, rng):
-        vid, mouse, btn, has_controls = batch[:4]
+        vid, audio, mouse, btn, has_controls = batch[:5]
         vid = (vid / self.train_cfg.vae_scale).astype(jnp.bfloat16)
-        out = self.model.apply(
-            {"params": params}, vid, mouse, btn, None,
-            return_dict=True, has_controls=has_controls.astype(bool),
-            rngs={"noise": rng})
-        loss = out["diffusion_loss"]
+        audio_scale = self.train_cfg.get("audio_vae_scale",
+                                         self.train_cfg.vae_scale)
+        audio = (audio / audio_scale).astype(jnp.bfloat16)
+        loss, v_loss, a_loss = self.model.apply(
+            {"params": params}, vid, audio, mouse, btn,
+            has_controls=has_controls.astype(bool), rngs={"noise": rng})
         unlabelled = 1.0 - jnp.mean(has_controls.astype(jnp.float32))
-        return loss, {"diffusion_loss": loss,
+        return loss, {"diffusion_loss": loss, "video_loss": v_loss,
+                      "audio_loss": a_loss,
                       "unlabelled_proportion": unlabelled}
 
 

@@ -2,8 +2,10 @@
 
 Reference: owl_wms/utils/owl_vae_bridge.py:20-120. The reference pulls its
 VAEs from the external (un-vendored) ``owl-vaes`` repo; here the audio VAE
-is in-repo (nn/audio_vae.py) and the video decoder is a lightweight
-pixel-shuffle decoder standing in for the external DCAE weights. All
+is in-repo (nn/audio_vae.py) and the video decoder is the real
+AutoencoderDC architecture in flax (nn/dcae.py, vae_id "dcae", imports
+diffusers checkpoints) with a lightweight pixel-shuffle decoder as the
+offline/synthetic fallback (vae_id null / "pixel_shuffle"). All
 decode/encode helpers are micro-batched exactly like the reference:
 
 * ``make_batched_decode_fn`` — video: [b,n,c,h,w] flattened to [b*n,...]
@@ -99,17 +101,41 @@ class PixelShuffleVideoDecoder:
         return self._fn(z)
 
 
+class DCAEVideoDecoder:
+    """The real AutoencoderDC decoder (nn/dcae.py) with torch-checkpoint
+    import — the reference's dcae path (owl_vae_bridge.py:21-25,
+    mit-han-lab/dc-ae-f64c128-mix-1.0). ckpt_path: a torch .pt/.safetensors
+    state_dict (full AutoencoderDC or bare decoder); None = random init
+    (offline smoke/serve tests)."""
+
+    def __init__(self, latent_channels: int = 128,
+                 ckpt_path: Optional[str] = None, **dec_kw):
+        from ..nn.dcae import DCAEDecoder
+        self.module = DCAEDecoder(latent_channels=latent_channels,
+                                  dtype=jnp.bfloat16, **dec_kw)
+        if ckpt_path:
+            from .torch_import import load_torch_file, import_dcae_decoder
+            self.params = {"params": import_dcae_decoder(
+                load_torch_file(ckpt_path))}
+        else:
+            self.params = self.module.init(
+                jax.random.key(0), jnp.zeros((1, 8, 8, latent_channels),
+                                             jnp.bfloat16))
+        self._fn = jax.jit(lambda z: self.module.apply(self.params, z))
+
+    def __call__(self, z_bchw):
+        # [b, c, h, w] latents -> [b, H, W, 3] frames
+        z = jnp.transpose(z_bchw, (0, 2, 3, 1)).astype(jnp.bfloat16)
+        return self._fn(z).astype(jnp.float32)
+
+
 def get_decoder_only(vae_id: Optional[str], cfg_path: Optional[str] = None,
                      ckpt_path: Optional[str] = None,
                      latent_channels: int = 128):
     """Video frame decoder (reference: owl_vae_bridge.py:20-31)."""
     if vae_id == "dcae":
-        try:
-            from diffusers import AutoencoderDC  # noqa: F401
-        except ImportError as e:
-            raise ImportError(
-                "vae_id 'dcae' needs diffusers (not in this image); use the "
-                "in-repo pixel-shuffle decoder (vae_id null)") from e
+        return DCAEVideoDecoder(latent_channels=latent_channels,
+                                ckpt_path=ckpt_path)
     return PixelShuffleVideoDecoder(latent_channels=latent_channels,
                                     ckpt_path=ckpt_path)
 

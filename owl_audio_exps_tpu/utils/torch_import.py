@@ -191,3 +191,69 @@ def assert_tree_matches(imported: dict, target_shapes: dict, prefix=""):
         raise ValueError(
             f"import mismatch: missing={missing[:5]} extra={extra[:5]} "
             f"shape={bad[:5]}")
+
+# --------------------------------------------------------------- DCAE
+
+def _conv_w(w: np.ndarray) -> np.ndarray:
+    """torch conv [out, in/groups, kh, kw] -> flax [kh, kw, in/groups, out]."""
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def import_dcae_decoder(sd: Dict[str, np.ndarray],
+                        prefix: str = "decoder.") -> dict:
+    """diffusers AutoencoderDC decoder state_dict -> nn/dcae.DCAEDecoder
+    params (reference checkpoint: mit-han-lab/dc-ae-f64c128-mix-1.0,
+    owl_wms/utils/owl_vae_bridge.py:21-25).
+
+    Accepts either the full AutoencoderDC state_dict (keys under
+    ``decoder.``) or a bare decoder state_dict (prefix="").
+    """
+    sd = normalize_torch_keys(sd)
+    if prefix and not any(k.startswith(prefix) for k in sd):
+        prefix = ""
+    out: dict = {}
+
+    def put(path, leaf, value):
+        node = out
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node.setdefault(path[-1], {})[leaf] = value
+
+    for key, w in sd.items():
+        if prefix:
+            if not key.startswith(prefix):
+                continue
+            key = key[len(prefix):]
+        parts = key.split(".")
+        leaf = parts[-1]
+        mod = parts[:-1]
+
+        # flatten diffusers indices into this package's flat names:
+        # up_blocks.{i}.{j}.* -> up_blocks_{i}_{j}.*
+        # attn.to_qkv_multiscale.{s}.proj_in -> attn.to_qkv_multiscale_{s}_proj_in
+        flat = []
+        i = 0
+        while i < len(mod):
+            m = mod[i]
+            if m == "up_blocks":
+                flat.append(f"up_blocks_{mod[i+1]}_{mod[i+2]}")
+                i += 3
+            elif m == "to_qkv_multiscale":
+                flat.append(f"to_qkv_multiscale_{mod[i+1]}_{mod[i+2]}")
+                i += 3
+            else:
+                flat.append(m)
+                i += 1
+
+        is_norm = flat and ("norm" in flat[-1])
+        if is_norm:
+            put(flat, {"weight": "scale", "bias": "bias"}[leaf],
+                np.asarray(w))
+        elif w.ndim == 4:
+            put(flat, {"weight": "kernel", "bias": "bias"}[leaf],
+                _conv_w(w) if leaf == "weight" else np.asarray(w))
+        elif w.ndim == 2:  # linear
+            put(flat, "kernel", np.transpose(w))
+        else:
+            put(flat, "bias" if leaf == "bias" else leaf, np.asarray(w))
+    return out

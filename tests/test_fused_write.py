@@ -220,7 +220,8 @@ def test_cached_pipeline_fused_matches_plain():
     np.testing.assert_allclose(outs[True], outs[False], rtol=0.1, atol=0.1)
 
 
-def test_av_cached_pipeline_fused_matches_plain():
+@pytest.mark.parametrize("backbone", ["dit", "uvit"])
+def test_av_cached_pipeline_fused_matches_plain(backbone):
     import sys
     sys.path.insert(0, "inference")
     from pipeline import AVCachedStreamingPipeline
@@ -230,7 +231,8 @@ def test_av_cached_pipeline_fused_matches_plain():
         model_id="game_rft_audio", n_layers=2, n_heads=2, d_model=32,
         channels=4, audio_channels=4, sample_size=2, tokens_per_frame=5,
         n_frames=16, n_buttons=3, causal=True, uncond=False, has_audio=True,
-        rope_impl="ortho", local_window=2, global_window=None, cfg_prob=0.0)
+        rope_impl="ortho", local_window=2, global_window=None, cfg_prob=0.0,
+        backbone=backbone)
     core = GameRFTAudioCore(cfg, dtype=jnp.bfloat16)
     x = jnp.zeros((1, 3, 4, 2, 2), jnp.bfloat16)
     a = jnp.zeros((1, 3, 4), jnp.bfloat16)

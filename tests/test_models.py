@@ -154,6 +154,38 @@ def test_av_kv_cache_equivalence():
                                atol=2e-4)
 
 
+@pytest.mark.parametrize("decoding", [False, True])
+def test_uvit_kv_cache_equivalence(decoding):
+    """UViT is first-class: cached incremental decode (incl. the
+    decoding fast paths) matches the full causal forward
+    (reference backbone choice: owl_wms/models/gamerft_audio.py:29-30)."""
+    cfg = av_cfg(backbone="uvit", n_layers=4)
+    core = GameRFTAudioCore(cfg, dtype=F32)
+    rs = np.random.RandomState(11)
+    n = 6
+    x = jnp.asarray(rs.randn(1, n, 4, 2, 2), F32)
+    audio = jnp.asarray(rs.randn(1, n, 4), F32)
+    t = jnp.asarray(rs.rand(1, n), F32)
+    mouse = jnp.asarray(rs.randn(1, n, 2), F32)
+    btn = jnp.asarray((rs.rand(1, n, 3) > 0.5), F32)
+    params = core.init(jax.random.key(0), x, audio, t, mouse, btn)
+
+    (full_v, full_a), _ = japply(core, params, x, audio, t, mouse, btn)
+
+    cache = KVCache.from_config(cfg, batch_size=1, dtype=F32)
+    _, cache = japply(core, params, x[:, :n - 1], audio[:, :n - 1],
+                      t[:, :n - 1], mouse[:, :n - 1], btn[:, :n - 1],
+                      kv_cache=cache, write=True)
+    assert int(cache.length) == (n - 1) * 5
+    (lv, la), _ = japply(core, params, x[:, n - 1:], audio[:, n - 1:],
+                         t[:, n - 1:], mouse[:, n - 1:], btn[:, n - 1:],
+                         kv_cache=cache, decoding=decoding)
+    np.testing.assert_allclose(np.asarray(lv[:, 0]), np.asarray(full_v[:, -1]),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(la[:, 0]), np.asarray(full_a[:, -1]),
+                               atol=2e-4)
+
+
 def test_ring_cache_eviction_matches_shifted_context():
     """After pop_oldest, cached attention must equal a fresh cache built
     from the shifted context (streaming eviction correctness)."""

@@ -39,29 +39,54 @@ def test_uvit_backbone():
 
 
 def test_mixed_av_trainer(tmp_path):
+    """Mixed trainer trains the JOINT AV model on [vid, audio, mouse,
+    btn, has_controls] batches, logs unlabelled_proportion, and exports
+    AV eval media (reference: mixed_av_trainer.py:154-162,190 and the
+    audio decoder eval at :54-57)."""
+    import json
+    import os
+    run_name = f"mixed_test_{os.getpid()}"
     cfg = Config.from_dict({
         "model": {
-            "model_id": "game_rft", "n_layers": 2, "n_heads": 2,
-            "d_model": 32, "channels": 4, "sample_size": 2,
-            "tokens_per_frame": 4, "n_frames": 8, "n_buttons": 3,
-            "causal": True, "uncond": False, "has_audio": False,
-            "rope_impl": "ortho", "local_window": 2, "global_window": None,
-            "cfg_prob": 0.1,
+            "model_id": "game_rft_audio", "n_layers": 2, "n_heads": 2,
+            "d_model": 32, "channels": 4, "audio_channels": 16,
+            "sample_size": 2, "tokens_per_frame": 5, "n_frames": 8,
+            "n_buttons": 3, "causal": True, "uncond": False,
+            "has_audio": True, "rope_impl": "ortho", "local_window": 2,
+            "global_window": None, "cfg_prob": 0.1,
         },
         "train": {
             "trainer_id": "mixed_av", "data_id": "synthetic_mixed",
             "data_kwargs": {"window_length": 8, "channels": 4,
-                            "sample_size": 2, "n_buttons": 3},
+                            "audio_channels": 16, "sample_size": 2,
+                            "n_buttons": 3},
             "target_batch_size": 4, "batch_size": 4, "epochs": 1,
             "opt": "AdamW", "opt_kwargs": {"lr": 1e-3},
             "checkpoint_dir": str(tmp_path / "ckpt"), "save_interval": 100,
-            "sample_interval": 1000, "vae_scale": 1.0,
+            "sample_interval": 2, "vae_scale": 1.0, "audio_vae_scale": 1.0,
+            "sampler_id": "av_window",
+            "sampler_kwargs": {"n_steps": 2, "window_length": 4,
+                               "num_frames": 2},
+            "sample_data_id": "synthetic_mixed",
+            "sample_data_kwargs": {"window_length": 8, "channels": 4,
+                                   "audio_channels": 16, "sample_size": 2,
+                                   "n_buttons": 3},
+            "n_samples": 2,
+            "eval_media_dir": str(tmp_path / "media"),
+            "vae_id": "pixel_shuffle", "vae_batch_size": 1,
         },
-        "wandb": {"run_name": "mixed_test"},
+        "wandb": {"run_name": run_name},
     })
     trainer = get_trainer_cls("mixed_av")(cfg)
     state = trainer.train(max_steps=2)
     assert int(state.step) == 2
+    # unlabelled_proportion reached the metrics log
+    with open(os.path.join("runs", f"{run_name}.jsonl")) as f:
+        recs = [json.loads(l) for l in f if l.strip()]
+    assert any("unlabelled_proportion" in r for r in recs)
+    # AV eval media exported (video + audio artifacts)
+    media = os.listdir(tmp_path / "media")
+    assert media, "no AV media exported at the sample interval"
 
 
 def test_local_waveform_loader(tmp_path):
