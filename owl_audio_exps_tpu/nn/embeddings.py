@@ -102,6 +102,11 @@ class MouseEmbedding(nn.Module):
         magnitudes = jnp.linalg.norm(sym, axis=-1)              # [b, n]
 
         angle_emb = jnp.stack([jnp.cos(angles), jnp.sin(angles)], axis=-1)
+        # pin the size-2 trailing axis replicated: GSPMD otherwise back-
+        # propagates a tensor sharding onto it under pipe x tensor meshes
+        # and replicate-repartitions (parallel/sharding.pin_tail_replicated)
+        from ..parallel.sharding import pin_tail_replicated
+        angle_emb = pin_tail_replicated(angle_emb)
         angle_emb = Linear(self.dim // 2, use_bias=False, dtype=self.dtype,
                            name="angle_proj")(angle_emb.astype(self.dtype))
         mag_emb = sincos_embed(magnitudes, self.dim // 2).astype(self.dtype)

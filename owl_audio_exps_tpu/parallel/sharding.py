@@ -134,3 +134,22 @@ def cache_shardings(cache, mesh=None):
 def shard_cache(cache, mesh=None):
     """Device-put a KVCache onto the mesh (TP over heads, DP over batch)."""
     return jax.device_put(cache, cache_shardings(cache, mesh))
+
+
+def pin_tail_replicated(x):
+    """Sharding constraint leaving the batch dim to the compiler and
+    pinning every other dim replicated.
+
+    Used on tiny control-embedding activations (e.g. the [b, n, 2] mouse
+    angle stack): under composed pipe x tensor meshes GSPMD back-
+    propagates a tensor sharding onto the size-2 trailing axis and falls
+    back to "involuntary full rematerialization" (replicate-then-
+    partition; MULTICHIP_r02 warning). No-op without an active mesh.
+    """
+    from .mesh import _MESH
+    if _MESH is None:
+        return x
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    spec = P(*([P.UNCONSTRAINED] + [None] * (x.ndim - 1)))
+    return jax.lax.with_sharding_constraint(x, NamedSharding(_MESH, spec))

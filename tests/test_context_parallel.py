@@ -169,3 +169,74 @@ def test_model_forward_matches_non_sp():
         make_mesh(MeshConfig())          # restore the default mesh
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=3e-5, rtol=3e-5)
+
+
+@pytest.mark.slow
+def test_cp_training_converges_and_matches_single_device(tmp_path):
+    """Context parallelism TRAINS, not just steps: the dit_v4_98k_sp
+    axes (seq-sharded mesh + scan_layers + group remat + Muon) at
+    scaled-down geometry run 50 steps on the virtual mesh; the loss must
+    decrease and match a seq=1 run of the identical config at tolerance
+    (VERDICT r2 item 9; production config configs/dit_v4_98k_sp.yml,
+    reference context target configs/dit_v4.yml:15)."""
+    import json
+    import os
+    from owl_audio_exps_tpu.configs import Config
+    from owl_audio_exps_tpu.parallel.mesh import make_mesh, MeshConfig
+    from owl_audio_exps_tpu.trainers import get_trainer_cls
+
+    def cfg_dict(seq, run_name):
+        return {
+            "model": {
+                "model_id": "game_rft", "sample_size": 2, "channels": 4,
+                "n_layers": 4, "n_heads": 2, "d_model": 32,
+                "tokens_per_frame": 4, "n_buttons": 3, "cfg_prob": 0.0,
+                "n_frames": 16, "causal": True, "uncond": False,
+                "backbone": "dit", "has_audio": False,
+                "rope_impl": "motion", "rope_ats_delta": 2.0,
+                "local_window": 2, "global_window": None,
+                "sequence_parallel": seq > 1,
+                "gradient_checkpointing": True,
+                "remat_granularity": "group", "scan_layers": True,
+            },
+            "train": {
+                "trainer_id": "rft", "data_id": "synthetic_latent",
+                "data_kwargs": {"window_length": 16, "channels": 4,
+                                "sample_size": 2, "n_buttons": 3},
+                "target_batch_size": 2, "batch_size": 2, "epochs": 1,
+                "opt": "Muon",
+                "opt_kwargs": {"lr": 1e-3, "momentum": 0.95,
+                               "adamw_lr": 1e-3,
+                               "adamw_keys": ["t_embed", "control_embed",
+                                              "proj_in", "proj_out",
+                                              "adaln", "gate"]},
+                "scheduler": None, "log_interval": 5,
+                "checkpoint_dir": str(tmp_path / f"ckpt_{run_name}"),
+                "save_interval": 10000, "sample_interval": 10000,
+                "vae_scale": 1.0,
+                "mesh": {"data": 2, "seq": seq},
+            },
+            "wandb": {"run_name": run_name},
+        }
+
+    def run(seq):
+        name = f"cp_conv_{seq}_{os.getpid()}"
+        trainer = get_trainer_cls("rft")(Config.from_dict(
+            cfg_dict(seq, name)))
+        try:
+            trainer.train(max_steps=50)
+        finally:
+            make_mesh(MeshConfig())  # restore the default mesh
+        with open(os.path.join("runs", f"{name}.jsonl")) as f:
+            recs = [json.loads(l) for l in f if l.strip()]
+        return [r["diffusion_loss"] for r in recs
+                if "diffusion_loss" in r]
+
+    losses_cp = run(4)
+    losses_ref = run(1)
+    assert len(losses_cp) >= 5
+    # it trains: the synthetic targets are unlearnable noise, but the
+    # model still fits the conditional mean — early >> late loss
+    assert np.mean(losses_cp[-2:]) < np.mean(losses_cp[:2])
+    # and it computes the same optimization trajectory as seq=1
+    np.testing.assert_allclose(losses_cp, losses_ref, rtol=2e-2)
