@@ -214,7 +214,10 @@ def test_cp_training_converges_and_matches_single_device(tmp_path):
                 "checkpoint_dir": str(tmp_path / f"ckpt_{run_name}"),
                 "save_interval": 10000, "sample_interval": 10000,
                 "vae_scale": 1.0,
-                "mesh": {"data": 2, "seq": seq},
+                # seq=1 ctor gets a full-pool placeholder mesh; run()
+                # swaps in the 2-device data-only mesh before training
+                "mesh": ({"data": 2, "seq": seq} if seq > 1
+                         else {"data": -1}),
             },
             "wandb": {"run_name": run_name},
         }
@@ -223,6 +226,14 @@ def test_cp_training_converges_and_matches_single_device(tmp_path):
         name = f"cp_conv_{seq}_{os.getpid()}"
         trainer = get_trainer_cls("rft")(Config.from_dict(
             cfg_dict(seq, name)))
+        if seq == 1:
+            # the no-CP reference run lives on a 2-device data-only mesh
+            # (the full 8-device pool must be covered otherwise; subset
+            # meshes are the __graft_entry__ restricted-mesh pattern)
+            from owl_audio_exps_tpu.parallel.mesh import batch_sharding
+            trainer.mesh = make_mesh(MeshConfig(data=2),
+                                     devices=jax.devices()[:2])
+            trainer.batch_sharding = batch_sharding(trainer.mesh)
         try:
             trainer.train(max_steps=50)
         finally:
