@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from typing import Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -261,6 +262,3 @@ class DCAEDecoder(nn.Module):
         h = nn.Conv(self.out_channels, (3, 3), padding="SAME",
                     dtype=self.dtype, name="conv_out")(h)
         return h
-
-
-import jax  # noqa: E402  (used by ChannelRMSNorm's lax.rsqrt)

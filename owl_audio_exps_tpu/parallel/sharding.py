@@ -137,19 +137,21 @@ def shard_cache(cache, mesh=None):
 
 
 def pin_tail_replicated(x):
-    """Sharding constraint leaving the batch dim to the compiler and
-    pinning every other dim replicated.
+    """Pin a TINY activation fully replicated.
 
-    Used on tiny control-embedding activations (e.g. the [b, n, 2] mouse
-    angle stack): under composed pipe x tensor meshes GSPMD back-
-    propagates a tensor sharding onto the size-2 trailing axis and falls
+    Used on the [b, n, 2] mouse angle stack (a few bytes per frame):
+    under composed pipe x tensor meshes GSPMD back-propagates a
+    transposed tensor sharding onto the size-2 trailing axis and falls
     back to "involuntary full rematerialization" (replicate-then-
-    partition; MULTICHIP_r02 warning). No-op without an active mesh.
+    partition; MULTICHIP_r02 warning). Replicating here makes that same
+    reshard voluntary — the tensor is 2 floats per frame, so the
+    all-gather is noise — and the warning disappears. No-op without an
+    active mesh.
     """
     from .mesh import _MESH
     if _MESH is None:
         return x
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
-    spec = P(*([P.UNCONSTRAINED] + [None] * (x.ndim - 1)))
-    return jax.lax.with_sharding_constraint(x, NamedSharding(_MESH, spec))
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(_MESH, P(*([None] * x.ndim))))
