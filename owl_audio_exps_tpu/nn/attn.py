@@ -199,7 +199,14 @@ def train_attention(cfg, local: bool, q, k, v, doc_id=None,
                 and band_available(L, tpf, window, True):
             hc = head_chunks if head_chunks is not None \
                 else cfg.get("splash_head_chunks", 1)
-            return band_attention(q, k, v, tpf, window, head_chunks=hc)
+            # QK rms-norm (unconditional in Attn.__call__) bounds every
+            # post-scale logit by sqrt(Dh) — enable the kernel's
+            # fixed-shift softmax (skips the row-max passes; exact).
+            # config band_fixed_shift: false restores the max path.
+            bound = (float(q.shape[-1]) ** 0.5
+                     if cfg.get("band_fixed_shift", True) else None)
+            return band_attention(q, k, v, tpf, window, head_chunks=hc,
+                                  logit_bound=bound)
         if (impl == "chunked" or (impl == "auto" and not on_tpu)) \
                 and chunked_local_available(L, tpf, window, True):
             return chunked_local_attention(q, k, v, tpf, window, doc_id)

@@ -104,11 +104,16 @@ class MouseEmbedding(nn.Module):
         angle_emb = jnp.stack([jnp.cos(angles), jnp.sin(angles)], axis=-1)
         # pin the size-2 trailing axis replicated: GSPMD otherwise back-
         # propagates a tensor sharding onto it under pipe x tensor meshes
-        # and replicate-repartitions (parallel/sharding.pin_tail_replicated)
+        # and replicate-repartitions (parallel/sharding.pin_tail_replicated).
+        # The pin must sit on the BF16 CONVERT (the last producer before
+        # the projection): pinning only the f32 stack leaves the astype
+        # output free for GSPMD to re-shard, and the involuntary-remat
+        # warning lands on the convert (MULTICHIP_r02 tail).
         from ..parallel.sharding import pin_tail_replicated
-        angle_emb = pin_tail_replicated(angle_emb)
+        angle_emb = pin_tail_replicated(
+            pin_tail_replicated(angle_emb).astype(self.dtype))
         angle_emb = Linear(self.dim // 2, use_bias=False, dtype=self.dtype,
-                           name="angle_proj")(angle_emb.astype(self.dtype))
+                           name="angle_proj")(angle_emb)
         mag_emb = sincos_embed(magnitudes, self.dim // 2).astype(self.dtype)
 
         feats = jnp.concatenate([angle_emb, mag_emb], axis=-1)

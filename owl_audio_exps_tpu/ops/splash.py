@@ -151,14 +151,28 @@ def _env_block(name: str, default: int, seq_len: int) -> int:
 
 
 def _block_sizes(q_len: int, kv_len: int) -> splash_kernel.BlockSizes:
-    bq = _env_block("OWL_SPLASH_BQ", largest_divisor_block(q_len), q_len)
-    bkv = _env_block("OWL_SPLASH_BKV", largest_divisor_block(kv_len), kv_len)
+    # On-chip sweeps (PERF.md "splash block-size sweep", round 3): the
+    # kernel's per-(head, q-block) pipeline overhead amortizes with
+    # BIGGER blocks — wide KV blocks especially. At the AV geometry
+    # (24,960 tokens) 640x1664+fused-bwd runs the causal global layer
+    # 49% faster than 384x384+split-bwd; at dit_v4 65,536 tokens
+    # 512x2048+fused is 30% faster than 512x512+split. Caps: bq 640,
+    # bkv 2048 — the [bq, bkv] f32 logits tile must stay ~<=5 MB VMEM
+    # (1024x2048 fused fails to compile; 640x1920 and 512x2048 fit).
+    bq = _env_block("OWL_SPLASH_BQ", largest_divisor_block(q_len, 640),
+                    q_len)
+    bkv = _env_block("OWL_SPLASH_BKV",
+                     largest_divisor_block(kv_len, 2048), kv_len)
     # backward blocks tune independently: dq/dkv have different operand
     # residency (dkv re-reads Q rows per kv block; dq re-reads K/V per q
     # block), so their sweet spots need not match the forward's
     bq_bwd = _env_block("OWL_SPLASH_BQ_BWD", bq, q_len)
     bkv_bwd = _env_block("OWL_SPLASH_BKV_BWD", bkv, kv_len)
-    if os.environ.get("OWL_SPLASH_FUSED_BWD", "") not in ("", "0"):
+    # fused dq+dkv backward kernel: one pass over the grid instead of
+    # separate dq / dkv kernels that each re-read Q/K/V/dO (-16% bwd at
+    # 65k, -15% at the AV geometry, same-day A/B). OWL_SPLASH_FUSED_BWD=0
+    # restores the split kernels.
+    if os.environ.get("OWL_SPLASH_FUSED_BWD", "1") not in ("", "0"):
         # single backward kernel producing dq+dkv in one pass (dq
         # accumulated in scratch over the kv grid) instead of separate
         # dq / dkv kernels that each re-read Q/K/V/dO

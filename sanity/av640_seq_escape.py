@@ -29,6 +29,13 @@ os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
 import numpy as np  # noqa: E402
 import jax  # noqa: E402
 
+# the env var alone does NOT suppress the pre-registered axon PJRT
+# plugin (a sitecustomize registers it at interpreter start) — without
+# this config override jax.devices() still returns the real TPU chip
+# and splash_available() routes the CP partials into the non-interpret
+# Pallas kernel, which cannot lower on the CPU backend
+jax.config.update("jax_platforms", "cpu")
+
 N_FRAMES = int(sys.argv[1]) if len(sys.argv) > 1 else 640
 D_MODEL = int(sys.argv[2]) if len(sys.argv) > 2 else 128
 

@@ -96,3 +96,60 @@ def test_head_chunks_equivalent():
                        interpret=True)
     np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                atol=2e-6, rtol=2e-6)
+
+
+@pytest.mark.parametrize("tpf,window,n_chunks", [
+    (64, 2, 3),
+    (65, 8, 2),     # AV-interleaved tpf: C=520
+])
+def test_fixed_shift_matches_dense(tpf, window, n_chunks):
+    """logit_bound (fixed-shift softmax) is exact: forward + grads.
+
+    rms-normalized q/k model the real call site (nn/attn.py QK-norm:
+    post-scale logits bounded by sqrt(Dh)); the shift constant only
+    guards overflow, so the softmax is mathematically unchanged.
+    """
+    rs = np.random.RandomState(7)
+    C = window * tpf
+    L = n_chunks * C
+    B, H, Dh = 1, 2, 64
+    q, k, v = _qkv(rs, B, H, L, Dh)
+    # unit-RMS q/k as produced by the attn module's rms_norm
+    q = q / jnp.sqrt(jnp.mean(q * q, axis=-1, keepdims=True) + 1e-6)
+    k = k / jnp.sqrt(jnp.mean(k * k, axis=-1, keepdims=True) + 1e-6)
+    bound = float(Dh) ** 0.5
+    gw = jnp.asarray(rs.randn(B, H, L, Dh), jnp.float32)
+
+    want = dot_attention(q, k, v, dense_mask(L, tpf, window, None, 0, True))
+    got = band_attention(q, k, v, tpf, window, interpret=True,
+                         logit_bound=bound)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=3e-5, rtol=3e-5)
+
+    def loss_band(q, k, v):
+        return jnp.vdot(band_attention(q, k, v, tpf, window,
+                                       interpret=True,
+                                       logit_bound=bound), gw)
+
+    def loss_dense(q, k, v):
+        return jnp.vdot(dot_attention(
+            q, k, v, dense_mask(L, tpf, window, None, 0, True)), gw)
+
+    g = jax.grad(loss_band, argnums=(0, 1, 2))(q, k, v)
+    gd = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip("qkv", g, gd):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4, rtol=2e-4,
+            err_msg=f"d{name} mismatch (fixed shift)")
+
+
+def test_fixed_shift_generic_bound():
+    """A conservative bound on unnormalized inputs is still exact."""
+    rs = np.random.RandomState(8)
+    tpf, window, L = 64, 2, 384
+    q, k, v = _qkv(rs, 1, 2, L, 64)
+    want = band_attention(q, k, v, tpf, window, interpret=True)
+    got = band_attention(q, k, v, tpf, window, interpret=True,
+                         logit_bound=40.0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=3e-5, rtol=3e-5)
