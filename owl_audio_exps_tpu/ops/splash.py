@@ -169,10 +169,20 @@ def _block_sizes(q_len: int, kv_len: int) -> splash_kernel.BlockSizes:
     bq_bwd = _env_block("OWL_SPLASH_BQ_BWD", bq, q_len)
     bkv_bwd = _env_block("OWL_SPLASH_BKV_BWD", bkv, kv_len)
     # fused dq+dkv backward kernel: one pass over the grid instead of
-    # separate dq / dkv kernels that each re-read Q/K/V/dO (-16% bwd at
-    # 65k, -15% at the AV geometry, same-day A/B). OWL_SPLASH_FUSED_BWD=0
-    # restores the split kernels.
-    if os.environ.get("OWL_SPLASH_FUSED_BWD", "1") not in ("", "0"):
+    # separate dq / dkv kernels that each re-read Q/K/V/dO (-13% bwd at
+    # the AV geometry on top of the big blocks, same-day A/B). BUT the
+    # fused kernel stages dq per kv-grid slot — an HLO temp of
+    # [kv_len/bkv, H, q_len, Dh] bf16 (2x tile-padded), ~3 GB at 65,536
+    # tokens — which OOMs the barely-fitting dit_v4 65k training step.
+    # Default: fused only while that staging stays ~<=1 GB, i.e.
+    # q_len * n_kv_blocks <= 2^20 rows (x 64 Dh x 6-head chunk x 2 B
+    # x 2 padding ~= 1 GB). AV 384/512-frame geometries qualify; 65k+
+    # takes the split kernels with the big-KV blocks (still -19% vs
+    # the old defaults). OWL_SPLASH_FUSED_BWD=1/0 overrides.
+    fused_default = "1" if q_len * (kv_len // max(bkv_bwd, 1)) <= 1 << 20 \
+        else "0"
+    if os.environ.get("OWL_SPLASH_FUSED_BWD", fused_default) \
+            not in ("", "0"):
         # single backward kernel producing dq+dkv in one pass (dq
         # accumulated in scratch over the kv grid) instead of separate
         # dq / dkv kernels that each re-read Q/K/V/dO

@@ -28,21 +28,29 @@ H, DH, WIN = 24, 64, 16
 D = H * DH * 1  # per-head-count model width used only for reporting
 
 
+def _materialize(out):
+    # checksum transfer: through the axon relay, block_until_ready can
+    # return before execution (async futures) — only a host transfer
+    # reliably fences the computation (~5 ms overhead, included)
+    return float(jax.tree.leaves(out)[0].astype(jnp.float32).sum())
+
+
 def bench(fn, *args, n=5):
-    out = jax.block_until_ready(fn(*args))
-    del out
+    _materialize(fn(*args))
     ts = []
     for j in range(n):
         a0 = args[0] + jnp.asarray(0.0001 * (j + 1), args[0].dtype)
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(a0, *args[1:]))
+        _materialize(fn(a0, *args[1:]))
         ts.append(time.perf_counter() - t0)
     return float(np.median(ts))
 
 
 for tpf in (65, 64):
     L = FRAMES * tpf
-    rs = np.random.RandomState(0)
+    # time-based seed: the relay ALSO memoizes (executable, arg values)
+    # across processes — fixed seeds make repeat runs read ~0 ms
+    rs = np.random.RandomState(int(time.time()) % 100000)
     q, k, v = (jnp.asarray(rs.randn(1, H, L, DH), jnp.float32)
                for _ in range(3))
     # rms-normalize like the attn module, then bf16 like training

@@ -37,3 +37,22 @@ def test_pad_to_block_av_lengths():
 def test_pad_to_block_small():
     Lp = pad_to_block(65)
     assert Lp % 128 == 0 and largest_divisor_block(Lp) >= 128
+
+
+def test_default_block_sizes_round3():
+    """Defaults pick the on-chip-swept optima (PERF.md round-3 sweep):
+    big KV blocks + fused backward. Caps keep the [bq, bkv] f32 logits
+    tile inside VMEM (1024x2048 fused fails to compile)."""
+    from owl_audio_exps_tpu.ops.splash import _block_sizes
+    bs = _block_sizes(24960, 24960)          # AV 384-frame geometry
+    assert (bs.block_q, bs.block_kv) == (640, 1920)
+    assert bs.use_fused_bwd_kernel
+    bs = _block_sizes(65536, 65536)          # dit_v4 1024-frame
+    assert (bs.block_q, bs.block_kv) == (512, 2048)
+    # fused dkv stages dq per kv-grid slot (~3 GB at 65k) — long
+    # sequences must take the split backward or the training step OOMs
+    assert not bs.use_fused_bwd_kernel
+    bs = _block_sizes(98304, 98304)          # dit_v4 1536-frame (98k)
+    assert (bs.block_q, bs.block_kv) == (512, 2048)
+    assert not bs.use_fused_bwd_kernel
+    assert bs.block_q * bs.block_kv * 4 <= 5 * (1 << 20)
