@@ -159,10 +159,18 @@ def _block_sizes(q_len: int, kv_len: int) -> splash_kernel.BlockSizes:
     # 512x2048+fused is 30% faster than 512x512+split. Caps: bq 640,
     # bkv 2048 — the [bq, bkv] f32 logits tile must stay ~<=5 MB VMEM
     # (1024x2048 fused fails to compile; 640x1920 and 512x2048 fit).
-    bq = _env_block("OWL_SPLASH_BQ", largest_divisor_block(q_len, 640),
+    # Short sequences keep the legacy 512-cap split-bwd defaults: the
+    # per-row pipeline overhead the big blocks amortize only bites at
+    # long L, and the memory-margin configs that run short sequences
+    # (dit_v4_5B at 8,192 tokens, 2.8B params) OOM at runtime under the
+    # wide layouts (round-3 bench). Long sequences get the swept optima.
+    wide = q_len >= 16384
+    bq = _env_block("OWL_SPLASH_BQ",
+                    largest_divisor_block(q_len, 640 if wide else 512),
                     q_len)
     bkv = _env_block("OWL_SPLASH_BKV",
-                     largest_divisor_block(kv_len, 2048), kv_len)
+                     largest_divisor_block(kv_len, 2048 if wide else 512),
+                     kv_len)
     # backward blocks tune independently: dq/dkv have different operand
     # residency (dkv re-reads Q rows per kv block; dq re-reads K/V per q
     # block), so their sweet spots need not match the forward's
@@ -179,8 +187,8 @@ def _block_sizes(q_len: int, kv_len: int) -> splash_kernel.BlockSizes:
     # x 2 padding ~= 1 GB). AV 384/512-frame geometries qualify; 65k+
     # takes the split kernels with the big-KV blocks (still -19% vs
     # the old defaults). OWL_SPLASH_FUSED_BWD=1/0 overrides.
-    fused_default = "1" if q_len * (kv_len // max(bkv_bwd, 1)) <= 1 << 20 \
-        else "0"
+    fused_default = "1" if wide \
+        and q_len * (kv_len // max(bkv_bwd, 1)) <= 1 << 20 else "0"
     if os.environ.get("OWL_SPLASH_FUSED_BWD", fused_default) \
             not in ("", "0"):
         # single backward kernel producing dq+dkv in one pass (dq
