@@ -55,7 +55,10 @@ def _sub_rows(C: int) -> int:
     """Query-row sub-block: the largest divisor of C (multiple of 8,
     the f32 sublane tile) keeping each [rows, C] f32 logits tile around
     1 MB — the kernels' VMEM stack stays well under the ~16 MB scope at
-    any C."""
+    any C. OWL_BAND_SUB overrides (must divide C, multiple of 8)."""
+    env = os.environ.get("OWL_BAND_SUB")
+    if env and C % int(env) == 0 and int(env) % 8 == 0:
+        return int(env)
     target = max(128, (1 << 20) // (4 * C))
     for s in range(min(C, target) // 8 * 8, 7, -8):
         if C % s == 0:

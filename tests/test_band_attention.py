@@ -153,3 +153,30 @@ def test_fixed_shift_generic_bound():
                          logit_bound=40.0)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=3e-5, rtol=3e-5)
+
+
+@pytest.mark.parametrize("mode", ["0", "1", "prev", "self"])
+def test_colslice_modes_match_dense(mode, monkeypatch):
+    """Every OWL_BAND_COLSLICE mode is exact (the column windows only
+    skip mask-zero work; tpf=65 so auto engages the sliced path)."""
+    monkeypatch.setenv("OWL_BAND_COLSLICE", mode)
+    rs = np.random.RandomState(11)
+    tpf, window, n_chunks = 65, 8, 3
+    C = window * tpf
+    L = n_chunks * C
+    q, k, v = _qkv(rs, 1, 2, L, 64)
+    want = dot_attention(q, k, v, dense_mask(L, tpf, window, None, 0, True))
+    got = band_attention(q, k, v, tpf, window, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=3e-5, rtol=3e-5)
+
+
+def test_sub_rows_env_override(monkeypatch):
+    monkeypatch.setenv("OWL_BAND_SUB", "40")
+    rs = np.random.RandomState(12)
+    tpf, window, L = 65, 8, 1040
+    q, k, v = _qkv(rs, 1, 2, L, 64)
+    want = dot_attention(q, k, v, dense_mask(L, tpf, window, None, 0, True))
+    got = band_attention(q, k, v, tpf, window, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=3e-5, rtol=3e-5)
