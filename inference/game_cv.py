@@ -316,7 +316,8 @@ def main():
         pipe.prime(ctx, mouse, btn)
     else:
         pipe = CausvidPipeline(core, params, m, window_length=60,
-                               sampling_steps=args.steps)
+                               sampling_steps=args.steps,
+                               frame_decode_fn=frame_decode_fn)
 
     loop = GameCV(pipe, fps=args.fps,
                   headless=True if args.headless else None)

@@ -183,10 +183,15 @@ class S3CoDLoader:
                 self.queue.put(item)
 
     def __iter__(self):
+        # queue tuples are (vid, mouse, btn[, audio]); the documented
+        # yield contract is [vid, audio, mouse, btn] (the mixed-AV tar
+        # schema / AV-trainer batch order, rft_trainer.AVRFTTrainer) —
+        # reorder so audio lands in column 1, not appended last
+        order = (0, 3, 1, 2) if self.include_audio else (0, 1, 2)
         while True:
             items = [self.queue.get() for _ in range(self.batch_size)]
             yield [np.stack([it[j] for it in items]).astype(np.float32)
-                   for j in range(self.n_cols)]
+                   for j in order]
 
     def sleep_until_queues_filled(self, min_items: Optional[int] = None):
         """Startup barrier (reference: s3_cod_latent_mixed.py:121-145)."""

@@ -168,9 +168,18 @@ def _block_sizes(q_len: int, kv_len: int) -> splash_kernel.BlockSizes:
     bq = _env_block("OWL_SPLASH_BQ",
                     largest_divisor_block(q_len, 640 if wide else 512),
                     q_len)
-    bkv = _env_block("OWL_SPLASH_BKV",
-                     largest_divisor_block(kv_len, 2048 if wide else 512),
-                     kv_len)
+    # KV block: 2048 exactly when it divides (the 65k sweep optimum;
+    # 98k shares the factor); otherwise the largest divisor <= 1664
+    # when a wide one (>= 1280) exists — the AV sweep measured 1664 at
+    # 199.7 ms/layer with 1920 ~5% behind — falling back to <= 2048.
+    bkv_d = 512
+    if wide:
+        bkv_d = largest_divisor_block(kv_len, 2048)
+        if bkv_d != 2048:
+            alt = largest_divisor_block(kv_len, 1664)
+            if alt >= 1280:
+                bkv_d = alt
+    bkv = _env_block("OWL_SPLASH_BKV", bkv_d, kv_len)
     # backward blocks tune independently: dq/dkv have different operand
     # residency (dkv re-reads Q rows per kv block; dq re-reads K/V per q
     # block), so their sweet spots need not match the forward's

@@ -352,7 +352,6 @@ class MixedAVRFTTrainer(AVRFTTrainer):
     model_id = "game_rft_audio"
 
     def example_batch(self):
-        c = self.model_cfg
         b = self.train_cfg.batch_size
         return super().example_batch() + [np.ones((b,), dtype=bool)]
 

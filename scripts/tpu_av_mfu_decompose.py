@@ -132,8 +132,6 @@ def modchain(x, cond):
     return xf.reshape(L, D)
 
 
-mod = jax.jit(lambda x, c: sum(modchain(x, c).sum()
-                               for _ in range(1)))
 t_f = bench(jax.jit(modchain), x, cond) * NL
 total += report("adaln/gate broadcasts x%d" % NL, t_f, t_f, 0.0, 0.0)
 

@@ -188,3 +188,18 @@ def test_s3_mixed_loader_end_to_end(fake_boto3):
             assert np.all(mouse[i] == 0) and np.all(btn[i] == 0)
         else:
             assert np.abs(mouse[i]).sum() > 0
+
+
+def test_s3_loader_audio_column_order(fake_boto3):
+    """include_audio=True yields the DOCUMENTED [vid, audio, mouse, btn]
+    order (audio in column 1 — the AV-trainer batch contract), not the
+    internal queue-tuple order with audio appended last."""
+    fake_boto3["av/part0.tar"] = _make_tar(n_frames=8, audio=True)
+    loader = S3CoDLoader(2, "bucket", prefix="av/", window_length=4,
+                         file_share_max=3, include_audio=True)
+    loader.sleep_until_queues_filled()
+    vid, aud, mouse, btn = next(iter(loader))
+    assert vid.shape == (2, 4, 4, 2, 2)
+    assert aud.shape == (2, 4, 6)      # audiolatent dim from _make_tar
+    assert mouse.shape == (2, 4, 2)
+    assert btn.shape == (2, 4, 3)
