@@ -4,7 +4,11 @@ Reference: owl_wms/muon.py. The NS5 iteration
 (owl_wms/muon.py:11-38) runs in bfloat16 on the MXU; the reference's
 rank-round-robin work sharding + all_gather (owl_wms/muon.py:95-115) is
 subsumed by the mesh: with FSDP-sharded parameters XLA shards the
-orthogonalization and inserts the gathers itself.
+orthogonalization and inserts the gathers itself. VERIFIED at
+dit_v4_5B scale (scripts/muon_shard_check.py, PERF.md "Muon NS5
+sharding under fsdp"): per-device compiled FLOPs are ~1/8 of the
+replicated program, and an explicit round-robin reshard matches the
+FLOPs while adding collectives — the mesh-only design stands.
 
 ``init_muon`` builds the combined optimizer: AdamW for embeddings /
 projections / <2-D params (selected by ``adamw_keys`` substring match on

@@ -195,7 +195,7 @@ def train_attention(cfg, local: bool, q, k, v, doc_id=None,
         from ..ops.band import band_attention, band_available
         from ..ops.local import (chunked_local_attention,
                                  chunked_local_available)
-        if impl in ("auto", "band") and on_tpu \
+        if impl in ("auto", "band", "band2") and on_tpu \
                 and band_available(L, tpf, window, True):
             hc = head_chunks if head_chunks is not None \
                 else cfg.get("splash_head_chunks", 1)
@@ -205,6 +205,22 @@ def train_attention(cfg, local: bool, q, k, v, doc_id=None,
             # config band_fixed_shift: false restores the max path.
             bound = (float(q.shape[-1]) ** 0.5
                      if cfg.get("band_fixed_shift", True) else None)
+            # v2 sub-window chunks where a measured-winning plan exists
+            # (frame-aligned, S >= 256 — docs/KERNELS.md §1c; +10.9%
+            # per layer at the dit tpf=64 geometries). `local_attn_impl:
+            # band` pins v1; `band2` requires a v2 plan.
+            if impl in ("auto", "band2") \
+                    and cfg.get("band_v2", True):
+                from ..ops.band2 import band2_attention, best_plan
+                plan = best_plan(L, tpf, window)
+                if plan is not None:
+                    return band2_attention(
+                        q, k, v, tpf, window, plan[0], plan[1],
+                        head_chunks=hc, logit_bound=bound)
+                if impl == "band2":
+                    raise ValueError(
+                        f"local_attn_impl=band2: no legal v2 plan for "
+                        f"L={L}, tpf={tpf}, window={window}")
             return band_attention(q, k, v, tpf, window, head_chunks=hc,
                                   logit_bound=bound)
         if (impl == "chunked" or (impl == "auto" and not on_tpu)) \

@@ -57,8 +57,8 @@ class MMAttn(nn.Module):
             # nn/attn.py QKVProj): three [B, T, H, Dh] streams
             return QKVProj(cfg.d_model, H, dtype=self.dtype, name=name)(x)
 
-        q0, k0, v0 = project(x0, "qkv_0")
-        q1, k1, v1 = project(x1, "qkv_1")
+        q0, k0, v0 = project(x0, "qkv_projs_0")
+        q1, k1, v1 = project(x1, "qkv_projs_1")
 
         def mix(a0, a1):
             # interleave per frame: [V video tokens | 1 audio token]
@@ -85,8 +85,8 @@ class MMAttn(nn.Module):
         y0 = out[:, :, :V].reshape(B, n_frames * V, cfg.d_model)
         y1 = out[:, :, V:].reshape(B, n_frames, cfg.d_model)
 
-        y0 = Linear(cfg.d_model, dtype=self.dtype, name="out_0")(y0)
-        y1 = Linear(cfg.d_model, dtype=self.dtype, name="out_1")(y1)
+        y0 = Linear(cfg.d_model, dtype=self.dtype, name="out_projs_0")(y0)
+        y1 = Linear(cfg.d_model, dtype=self.dtype, name="out_projs_1")(y1)
         return (y0, y1), kv_write
 
 
@@ -151,7 +151,10 @@ class MMDiT(nn.Module):
                                                   decoding)
 
         y = nn.silu(cond.astype(self.dtype))
-        y = Linear(d * 12, dtype=self.dtype, name="cond_proj")(y)
+        # "cond_proj_1": matches the reference torch name
+        # (nn.Sequential index 1, mmattn.py:127-130) so
+        # torch_import maps checkpoints without a special case
+        y = Linear(d * 12, dtype=self.dtype, name="cond_proj_1")(y)
         cond0, cond1 = jnp.split(y, 2, axis=-1)  # [b, n, 6d] each
 
         block_cls = MMDiTBlock

@@ -172,7 +172,7 @@ def _block_sizes(q_len: int, kv_len: int) -> splash_kernel.BlockSizes:
     # 98k shares the factor); otherwise the largest divisor <= 1664
     # when a wide one (>= 1280) exists — the AV sweep measured 1664 at
     # 199.7 ms/layer with 1920 ~5% behind — falling back to <= 2048.
-    bkv_d = 512
+    bkv_d = largest_divisor_block(kv_len, 512)
     if wide:
         bkv_d = largest_divisor_block(kv_len, 2048)
         if bkv_d != 2048:

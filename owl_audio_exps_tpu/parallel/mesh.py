@@ -46,6 +46,9 @@ class MeshConfig:
     tensor: int = 1
     seq: int = 1       # context parallelism (parallel/context.py)
     pipe: int = 1      # pipeline parallelism (parallel/pipeline.py)
+    devices: int = 0   # use only the first N devices (0 = all) — lets a
+                       # checkpoint saved on a big mesh restore onto a
+                       # smaller topology (cross-topology restore)
 
 
 def make_mesh(mesh_cfg: MeshConfig = None, devices=None) -> Mesh:
@@ -65,6 +68,10 @@ def make_mesh(mesh_cfg: MeshConfig = None, devices=None) -> Mesh:
                     devices = cpu
             except RuntimeError:
                 pass
+    if mesh_cfg.devices:
+        assert len(devices) >= mesh_cfg.devices, (
+            f"mesh devices={mesh_cfg.devices} > {len(devices)} available")
+        devices = devices[:mesh_cfg.devices]
     n = len(devices)
     fsdp, tensor, seq = mesh_cfg.fsdp, mesh_cfg.tensor, mesh_cfg.seq
     pipe = mesh_cfg.pipe

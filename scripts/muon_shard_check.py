@@ -1,0 +1,127 @@
+"""Does Muon's NS5 actually shard under fsdp? (VERDICT r3 weak #5)
+
+muon.py claims the reference's rank-round-robin NS5 sharding
+(owl_wms/muon.py:95-115) is "subsumed by the mesh". This script checks
+that claim on the 8-device virtual CPU mesh at dit_v4_5B muon-group
+scale: it compiles the muon update under (a) the repo's fsdp rules and
+(b) an explicit leading-axis (layer-stacked) resharding — the SPMD
+expression of the reference's round-robin — and compares per-device
+compiled FLOPs and the partitioned HLO's all-gather volume.
+
+If (a) per-device flops ~= the full NS5 flops, XLA is all-gathering
+the operands and REPLICATING the quintic; (b) should then show ~1/8.
+
+Run: JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+     python scripts/muon_shard_check.py
+"""
+import sys, pathlib, os
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np
+import jax
+# the container sitecustomize pre-registers the axon TPU plugin; hard
+# override like tests/conftest.py so the 8-device CPU mesh is real
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from owl_audio_exps_tpu.muon import muon
+from owl_audio_exps_tpu.parallel.sharding import param_shardings
+
+# dit_v4_5B muon-group shapes, scan_layers-stacked: 9 groups of
+# [global, local x3] -> leading axis 9; d_model 2560
+G, D = 9, 2560
+SHAPES = {
+    "blocks.attn.qkv.kernel": (G, D, 3 * D),
+    "blocks.attn.out.kernel": (G, D, D),
+    "blocks.mlp.fc1.kernel": (G, D, 4 * D),
+    "blocks.mlp.fc2.kernel": (G, 4 * D, D),
+}
+
+
+def ns5_flops(shape):
+    m, n = sorted(shape[-2:])       # NS5 transposes to short side
+    lead = int(np.prod(shape[:-2])) if len(shape) > 2 else 1
+    per_iter = 2 * m * m * n * 2 + 2 * m ** 3
+    return lead * 5 * per_iter
+
+
+def build(tree_shardings=None, mesh=None, reshard_leading=False):
+    params = {k: jnp.zeros(s, jnp.float32) for k, s in SHAPES.items()}
+    grads = {k: jnp.ones(s, jnp.float32) * 1e-3 for k, s in SHAPES.items()}
+    tx = muon(1e-3)
+    state = tx.init(params)
+
+    def step(grads, state, params):
+        if reshard_leading:
+            # the reference round-robin, SPMD-style: orthogonalize with
+            # the LEADING (stacked-layer) axis sharded — each device
+            # runs whole-matrix NS5 on its layers, zero intra-matrix
+            # collectives; reshard back afterwards
+            lead = jax.tree.map(
+                lambda g: jax.lax.with_sharding_constraint(
+                    g, NamedSharding(mesh, P(("dp", "fsdp")))), grads)
+            deltas, new_state = tx.update(lead, state, params)
+            deltas = jax.tree.map(
+                lambda d, s: jax.lax.with_sharding_constraint(d, s),
+                deltas, tree_shardings)
+            return deltas, new_state
+        return tx.update(grads, state, params)
+
+    if tree_shardings is not None:
+        params = jax.tree.map(jax.device_put, params, tree_shardings)
+        grads = jax.tree.map(jax.device_put, grads, tree_shardings)
+        state = jax.tree.map(
+            lambda leaf: jax.device_put(leaf, tree_shardings[
+                [k for k in SHAPES if leaf.shape == SHAPES[k]][0]])
+            if hasattr(leaf, "shape") and leaf.ndim >= 2 else leaf,
+            state)
+    lowered = jax.jit(step).lower(grads, state, params)
+    compiled = lowered.compile()
+    cost = compiled.cost_analysis()
+    cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+    flops = float(cost.get("flops", float("nan")))
+    hlo = compiled.as_text()
+    ag = hlo.count("all-gather")
+    return flops, ag
+
+
+def main():
+    full = sum(ns5_flops(s) for s in SHAPES.values())
+    print(f"analytic NS5 flops (all mats, 5 iters): {full/1e9:.1f} GF")
+
+    devs = np.array(jax.devices()[:8]).reshape(1, 8)
+    mesh = Mesh(devs, ("dp", "fsdp"))
+
+    f0, _ = build()
+    print(f"single-device        : {f0/1e9:9.1f} GF/dev (compiled)")
+
+    shardings = {
+        k: NamedSharding(mesh, param_shardings(
+            {"x": jnp.zeros(s, jnp.float32)}, mesh)["x"].spec
+            if False else _fsdp_spec(s, mesh))
+        for k, s in SHAPES.items()}
+    with mesh:
+        f1, ag1 = build(shardings, mesh)
+        print(f"fsdp rules           : {f1/1e9:9.1f} GF/dev, "
+              f"{ag1} all-gathers  ({f1/f0*100:.0f}% of replicated)")
+        f2, ag2 = build(shardings, mesh, reshard_leading=True)
+        print(f"leading-axis reshard : {f2/1e9:9.1f} GF/dev, "
+              f"{ag2} all-gathers  ({f2/f0*100:.0f}% of replicated)")
+
+
+def _fsdp_spec(shape, mesh):
+    # the repo's fsdp rule for big matrices: shard the penultimate
+    # (input) dim over fsdp (parallel/sharding.py)
+    if len(shape) == 3:
+        return P(None, ("dp", "fsdp"), None)
+    return P(("dp", "fsdp"), None)
+
+
+if __name__ == "__main__":
+    main()

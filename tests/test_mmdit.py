@@ -59,8 +59,8 @@ def test_mmdit_loss_and_shapes():
     # dual-stream params exist
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
     names = ["/".join(str(k.key) for k in p) for p, _ in flat]
-    assert any("qkv_0" in n for n in names)
-    assert any("qkv_1" in n for n in names)
+    assert any("qkv_projs_0" in n for n in names)
+    assert any("qkv_projs_1" in n for n in names)
     assert any("cond_proj" in n for n in names)
 
 
