@@ -16,6 +16,32 @@ from __future__ import annotations
 import numpy as np
 
 
+def _tone_batch(full, rs):
+    """LEARNABLE stereo audio: random sums of sinusoids (3-6 partials,
+    80-6000 Hz at 44.1 kHz, random phases/amps, light noise floor).
+    Unlike the white-noise ``synthetic_waveform`` source this has
+    structure a conv VAE can actually reconstruct — the quality-anchor
+    source (scripts/audio_vae_anchor.py, tests/test_audio_vae_quality)."""
+    b, T, C = full
+    t = np.arange(T, dtype=np.float32) / 44100.0
+    out = np.empty((b, T, C), np.float32)
+    for i in range(b):
+        n_part = rs.randint(3, 7)
+        freqs = rs.uniform(80.0, 6000.0, n_part).astype(np.float32)
+        amps = rs.uniform(0.1, 0.6, n_part).astype(np.float32)
+        amps /= max(1.0, amps.sum() / 0.8)
+        wave = np.zeros((T, C), np.float32)
+        for f, a in zip(freqs, amps):
+            ph = rs.uniform(0, 2 * np.pi, C).astype(np.float32)
+            # slight stereo detune for channel decorrelation
+            det = rs.uniform(0.995, 1.005, C).astype(np.float32)
+            wave += a * np.sin(2 * np.pi * f * det[None, :]
+                               * t[:, None] + ph[None, :])
+        wave += 0.01 * rs.randn(T, C).astype(np.float32)
+        out[i] = np.clip(wave, -1.0, 1.0)
+    return out
+
+
 class SyntheticLoader:
     def __init__(self, batch_size: int, spec, seed: int = 0,
                  mixed: bool = False):
@@ -39,6 +65,8 @@ class SyntheticLoader:
                     out.append(rs.rand(*full) > 0.5)
                 elif kind == "binary":
                     out.append((rs.rand(*full) > 0.5).astype(np.float32))
+                elif kind == "tones":
+                    out.append(_tone_batch(full, rs))
                 else:
                     out.append(rs.randn(*full).astype(np.float32))
             if self.mixed:
@@ -75,6 +103,8 @@ def get_loader(data_id, batch_size, window_length=16, channels=128,
         spec = [((window_length, channels), "normal")]
     elif data_id == "synthetic_waveform":
         spec = [((n_samples, 2), "normal")]
+    elif data_id == "synthetic_tones":
+        spec = [((n_samples, 2), "tones")]
     else:
         raise ValueError(f"Invalid synthetic data id: {data_id}")
     return SyntheticLoader(batch_size, spec, seed)

@@ -1,0 +1,82 @@
+"""Flash-decode vs dense cached attention — chained-scan re-measure.
+
+The round-2/3 head-to-head (docs/KERNELS.md §2b) was measured per-call
+through the axon relay; the round-4 harness discovery (chained-scan,
+see §1c) means those absolute numbers carry dispatch overhead. This
+re-measures both paths with K iterations chained through a lax.scan
+carry (out feeds the next q — no memoization, no laziness, forward
+kept live by the carry), at the shipped serve geometries, before the
+win-or-delete decision on ops/flash_decode.py (VERDICT r3 item 6).
+
+Usage: python scripts/tpu_decode_rebench.py [S ...]
+"""
+import sys, pathlib, os, time
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/jax_tpu_cache")
+import numpy as np
+import jax, jax.numpy as jnp
+jax.config.update("jax_compilation_cache_dir", "/root/jax_tpu_cache")
+
+from owl_audio_exps_tpu.ops.attention import cached_dot_attention
+from owl_audio_exps_tpu.ops.flash_decode import flash_decode
+
+H, Dh, Lq = 24, 64, 65
+K = 16
+
+
+def bench(fn, q0, n=3):
+    np.asarray(fn(q0))
+    ts = []
+    for i in range(n):
+        qv = q0 * jnp.bfloat16(1.0 + 0.001 * i)
+        t0 = time.perf_counter()
+        np.asarray(fn(qv))
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts)) / K
+
+
+def run(S, B):
+    rs = np.random.RandomState(0)
+    q0 = jnp.asarray(rs.randn(B, H, Lq, Dh), jnp.bfloat16)
+    kc = jnp.asarray(rs.randn(B, H, S, Dh), jnp.bfloat16)
+    vc = jnp.asarray(rs.randn(B, H, S, Dh), jnp.bfloat16)
+    kcur = jnp.asarray(rs.randn(B, H, Lq, Dh), jnp.bfloat16)
+    vcur = jnp.asarray(rs.randn(B, H, Lq, Dh), jnp.bfloat16)
+    start = jnp.zeros((), jnp.int32)
+    length = jnp.full((), S, jnp.int32)      # full ring (steady state)
+    valid = jnp.ones((1, Lq, S + Lq), bool)
+
+    @jax.jit
+    def dense_k(q0):
+        def body(q, _):
+            o = cached_dot_attention(q, kc, vc, kcur, vcur, valid)
+            return o.astype(q.dtype), ()
+        qf, _ = jax.lax.scan(body, q0, None, length=K)
+        return jnp.sum(qf.astype(jnp.float32))
+
+    @jax.jit
+    def flash_k(q0):
+        def body(q, _):
+            o = flash_decode(q, kc, vc, kcur, vcur, start, length)
+            return o.astype(q.dtype), ()
+        qf, _ = jax.lax.scan(body, q0, None, length=K)
+        return jnp.sum(qf.astype(jnp.float32))
+
+    td = bench(dense_k, q0)
+    try:
+        tf = bench(flash_k, q0)
+    except Exception as ex:
+        print(f"S={S} B={B}: dense {td*1e3:7.3f} ms, flash FAILED "
+              f"{type(ex).__name__}: {str(ex)[:80]}")
+        return
+    bw = (2 * B * H * S * Dh * 2) / 1e9      # K+V bytes read, GB
+    print(f"S={S:6d} B={B}: dense {td*1e3:7.3f} ms "
+          f"({bw/td:.0f} GB/s)  flash {tf*1e3:7.3f} ms "
+          f"({bw/tf:.0f} GB/s)  flash/dense {tf/td:5.2f}x")
+
+
+if __name__ == "__main__":
+    sizes = [int(s) for s in sys.argv[1:]] or [32768, 98304]
+    for S in sizes:
+        for B in (1, 8):
+            run(S, B)
