@@ -203,13 +203,19 @@ def make_fns(cfg):
         dpo, dh, dcond = epi_vjp(jnp.float32(1.0))
         return loss, dpo, dh.astype(BF16), dcond.astype(BF16)
 
-    @partial(jax.jit, donate_argnums=(1, 3, 4))
-    def prog_group_bwd(gp, h_in, cond, dh, dcond_acc):
+    @partial(jax.jit, donate_argnums=(1, 3, 4, 5),
+             static_argnums=(6,))
+    def prog_group_bwd(gp, h_in, cond, dh, dcond_acc, dgroups, g):
         _, gvjp = jax.vjp(run_group_b, gp, h_in, cond)
         dgp, dh_in, dcond_g = gvjp(dh)
-        if os.environ.get("OWL_GRADS_BF16") == "1":
-            dgp = jax.tree.map(lambda g: g.astype(BF16), dgp)
-        return dgp, dh_in, dcond_acc + dcond_g
+        # write this group's grads straight into the donated stacked
+        # buffer — no per-group pieces list + eager stack (2x the
+        # stacked bytes transient, the fit-killer at 98k)
+        dgroups = jax.tree.map(
+            lambda buf, piece: jax.lax.dynamic_update_index_in_dim(
+                buf, piece.astype(buf.dtype), g, 0),
+            dgroups, dgp)
+        return dgroups, dh_in, dcond_acc + dcond_g
 
     @jax.jit
     def prog_pro_bwd(pp, x, mouse, btn, key, dh0, dcond):
@@ -227,21 +233,25 @@ def make_fns(cfg):
         loss, dpo, dh, dcond = prog_epi_bwd(params["proj_out"], hG,
                                             cond, x, key)
         groups = params["transformer"]["groups"]
-        pieces = []
+        gdtype = BF16 if os.environ.get("OWL_GRADS_BF16") == "1" \
+            else None
+        dgroups = jax.tree.map(
+            lambda a: jnp.zeros(a.shape, gdtype or a.dtype), groups)
         dbg = os.environ.get("OWL_TWO_PROG_DEBUG") == "1"
+        sync = os.environ.get("OWL_TWO_PROG_SYNC", "1") != "0"
         for g in reversed(range(G)):
             gp = jax.tree.map(lambda a: a[g], groups)
-            dgp, dh, dcond = prog_group_bwd(gp, bounds[g], cond, dh,
-                                            dcond)
+            dgroups, dh, dcond = prog_group_bwd(
+                gp, bounds[g], cond, dh, dcond, dgroups, g)
+            del gp
+            if sync:
+                # hard sync each iteration: the relay defers buffer
+                # frees under async dispatch — without this, donated /
+                # dead buffers from the previous group linger and the
+                # next eager slice OOMs (observed at 98k)
+                np.asarray(dcond[0, 0, 0])
             if dbg:
-                st = jax.local_devices()[0].memory_stats() or {}
-                print(f"  group {g}: in_use "
-                      f"{st.get('bytes_in_use', 0)/2**30:.2f} G "
-                      f"peak {st.get('peak_bytes_in_use', 0)/2**30:.2f} G",
-                      flush=True)
-            pieces.append(dgp)
-        pieces.reverse()
-        dgroups = jax.tree.map(lambda *xs: jnp.stack(xs), *pieces)
+                print(f"  group {g} done", flush=True)
         dpro = prog_pro_bwd(pro_params(params), x, mouse, btn, key,
                             dh, dcond)
         grads = dict(dpro)
@@ -266,6 +276,11 @@ def main():
         {"params": k, "noise": jax.random.key(1)}, x, mouse, btn
     )["params"])(jax.random.key(0))
     core = params["core"]
+    if os.environ.get("OWL_PARAMS_BF16") == "1":
+        # bf16 master params: the 5B fit lever (tpu_train_bench.py);
+        # halves the largest steady-state tenant in program B
+        core = jax.tree.map(lambda a: a.astype(BF16), core)
+        del params
     prog_a, prog_b_core, hostloop_b = make_fns(cfg)
 
     if MODE == "check":
