@@ -226,10 +226,12 @@ def train_attention(cfg, local: bool, q, k, v, doc_id=None,
         if (impl == "chunked" or (impl == "auto" and not on_tpu)) \
                 and chunked_local_available(L, tpf, window, True):
             return chunked_local_attention(q, k, v, tpf, window, doc_id)
-        if impl in ("band", "chunked"):
+        if impl in ("band", "band2", "chunked"):
+            # band2 included: a pinned kernel must never silently fall
+            # through to splash (e.g. off-TPU or geometry rejected)
             raise ValueError(
-                f"local_attn_impl={impl} requires a causal local window "
-                f"whose span divides the sequence (L={L}, "
+                f"local_attn_impl={impl} requires a TPU and a causal local "
+                f"window whose span divides the sequence (L={L}, "
                 f"tpf={tpf}, window={window})")
     from ..ops.splash import splash_attention
     if head_chunks is None:

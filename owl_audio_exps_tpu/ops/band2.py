@@ -102,7 +102,11 @@ def plan_candidates(n_tokens: int, tokens_per_frame: int,
     C = window * tokens_per_frame
     out = []
     for m in range(2, 9):
-        smin = max(128, -(-(C - 1) // m))
+        # ragged spans (S % tpf != 0) additionally need S >= tpf: the
+        # next-ref plane covers S columns of chunk i+1, and a frame tail
+        # of up to tpf-1 tokens must fit inside it (else frame-causally
+        # visible columns in chunk i+2 would be silently skipped)
+        smin = max(128, tokens_per_frame, -(-(C - 1) // m))
         for S in range((smin + 7) // 8 * 8, C, 8):
             if (n_tokens % S == 0 and n_tokens // S >= m + 1
                     and _next_cols(S, tokens_per_frame) >= 0):
@@ -133,7 +137,7 @@ def best_plan(n_tokens: int, tokens_per_frame: int,
         S, m = (int(x) for x in env.split(","))
         C = window * tokens_per_frame
         if (m * S >= C - 1 and S % 8 == 0 and n_tokens % S == 0
-                and n_tokens // S >= m + 1):
+                and n_tokens // S >= m + 1 and S >= tokens_per_frame):
             return (S, m)
         return None
     cands = [(S, m) for S, m in
@@ -617,8 +621,9 @@ def band2_attention(q, k, v, tokens_per_frame: int, window: int,
     B, H, L, Dh = q.shape
     C = window * tokens_per_frame
     assert nrefs * span >= C - 1 and L % span == 0 \
-        and L // span >= nrefs + 1 and span % 8 == 0, \
-        (span, nrefs, L, C)
+        and L // span >= nrefs + 1 and span % 8 == 0 \
+        and span >= tokens_per_frame, \
+        (span, nrefs, L, C, tokens_per_frame)
     if head_chunks > 1 and H % head_chunks == 0 and H > head_chunks:
         hc = H // head_chunks
         outs = [

@@ -138,12 +138,16 @@ def export_torch_state_dict(params: dict, n_heads: int) -> Dict[str, np.ndarray]
             for p in parts[:-1]:
                 m = re.match(r"^(.*)_(\d+)$", p)
                 if m and m.group(1) in ("blocks", "skip_projs", "qkv_projs",
-                                        "out_projs", "mlps"):
+                                        "out_projs", "mlps", "cond_proj"):
                     mod_path.extend([m.group(1), m.group(2)])
                 else:
                     mod_path.append(p)
             value = np.asarray(node)
-            is_qkv = len(mod_path) > 0 and mod_path[-1].startswith("qkv")
+            # qkv check on the PRE-split flax module name: after
+            # un-flattening qkv_projs_0 -> ['qkv_projs', '0'] the last
+            # mod_path element is the digit, which must not defeat the
+            # inverse head permutation (MMDiT per-stream projections).
+            is_qkv = len(parts) > 1 and parts[-2].startswith("qkv")
             if leaf == "kernel":
                 if value.ndim == 2:
                     value = value.T
@@ -191,6 +195,48 @@ def assert_tree_matches(imported: dict, target_shapes: dict, prefix=""):
         raise ValueError(
             f"import mismatch: missing={missing[:5]} extra={extra[:5]} "
             f"shape={bad[:5]}")
+
+# ----------------------------------------------------------- audio VAE
+
+def import_audio_vae(sd: Dict[str, np.ndarray]) -> dict:
+    """torch audio-VAE state_dict -> nn/audio_vae.AudioVAE params.
+
+    The reference consumes trained owl-vaes audio checkpoints
+    (owl_wms/utils/owl_vae_bridge.py:104-120); the submodule is empty,
+    so this maps the torch mirror of this package's architecture
+    (tests/audio_vae_torch_mirror.py — module names encoder/decoder,
+    stem/res_i/down_i/up_i/head_norm/head, ResBlock norm1/conv1/
+    norm2/conv2) so trained torch audio-VAE weights are a load away.
+
+    Conv1d weights [out, in, k] -> flax [k, in, out]; the same
+    transposition covers the decoder's up-convs (flax ConvTranspose
+    kernel is [k, in, out] with transpose_kernel=False). GroupNorm
+    weight -> scale.
+    """
+    sd = normalize_torch_keys(sd)
+    ren = {"norm1": "GroupNorm_0", "conv1": "Conv_0",
+           "norm2": "GroupNorm_1", "conv2": "Conv_1"}
+    params: dict = {}
+    for key, w in sd.items():
+        parts = key.split(".")
+        leaf = parts[-1]
+        mod = [ren.get(p, p) for p in parts[:-1]]
+        w = np.asarray(w)
+        if leaf == "weight":
+            if w.ndim == 3:
+                leaf_name, w = "kernel", np.transpose(w, (2, 1, 0))
+            else:
+                leaf_name = "scale"
+        elif leaf == "bias":
+            leaf_name = "bias"
+        else:
+            raise KeyError(f"Unmapped audio-VAE param: {key}")
+        node = params
+        for p in mod:
+            node = node.setdefault(p, {})
+        node[leaf_name] = w
+    return params
+
 
 # --------------------------------------------------------------- DCAE
 

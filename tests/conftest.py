@@ -28,3 +28,36 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 assert jax.devices()[0].platform == "cpu", (
     "tests must run on the virtual CPU mesh, got " + str(jax.devices()))
 assert jax.device_count() == 8
+
+
+def pytest_sessionfinish(session, exitstatus):
+    """Exit-hang guard (round-4 verdict weak #6: the suite once wedged
+    AFTER the last test, before the summary flushed — a lingering
+    non-daemon thread or unreaped child blocking interpreter teardown).
+
+    Name any surviving non-daemon threads now, then arm a daemon watchdog:
+    if the interpreter has not exited 60 s after the session finished,
+    dump all thread stacks and force the exit with the session's status
+    so CI never hangs on teardown."""
+    import faulthandler
+    import sys
+    import threading
+    import time
+
+    stray = [t for t in threading.enumerate()
+             if t is not threading.main_thread() and not t.daemon]
+    if stray:
+        print(f"\n[conftest] non-daemon threads alive at sessionfinish: "
+              f"{[t.name for t in stray]}", file=sys.stderr)
+
+    def watchdog():
+        time.sleep(60)
+        print("\n[conftest] interpreter still alive 60s after "
+              "sessionfinish — dumping stacks and forcing exit",
+              file=sys.stderr)
+        faulthandler.dump_traceback(file=sys.stderr)
+        sys.stderr.flush()
+        os._exit(exitstatus)
+
+    threading.Thread(target=watchdog, daemon=True, name="exit-watchdog") \
+        .start()

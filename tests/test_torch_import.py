@@ -68,6 +68,44 @@ def test_audio_core_roundtrip():
     _roundtrip(core, params, (x, t))
 
 
+def test_mmdit_core_roundtrip():
+    # regression: export must apply the inverse head permutation to the
+    # MMDiT per-stream projections (qkv_projs_N -> qkv_projs.N) and emit
+    # the reference's Sequential name cond_proj.1 (owl_wms/nn/mmattn.py:127)
+    from owl_audio_exps_tpu.models.gamerft_audio import GameRFTAudioCore
+    cfg = transformer_config(
+        model_id="game_rft_audio", n_layers=2, n_heads=2, d_model=32,
+        channels=4, audio_channels=4, sample_size=2, tokens_per_frame=5,
+        n_frames=8, n_buttons=3, causal=True, uncond=False, has_audio=True,
+        rope_impl="ortho", local_window=2, global_window=None, cfg_prob=0.0,
+        backbone="mmdit")
+    core = GameRFTAudioCore(cfg, dtype=F32)
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randn(1, 4, 4, 2, 2), F32)
+    a = jnp.asarray(rs.randn(1, 4, 4), F32)
+    t = jnp.asarray(rs.rand(1, 4), F32)
+    m = jnp.asarray(rs.randn(1, 4, 2), F32)
+    bt = jnp.asarray(rs.rand(1, 4, 3) > 0.5, F32)
+    params = core.init(jax.random.key(0), x, a, t, m, bt)
+    p = jax.tree.map(np.asarray, params["params"])
+
+    torch_sd = export_torch_state_dict(p, cfg.n_heads)
+    assert "transformer.cond_proj.1.weight" in torch_sd
+    assert any(k.startswith("transformer.blocks.0.attn.qkv_projs.0.")
+               for k in torch_sd)
+    imported = import_torch_state_dict(torch_sd, cfg.n_heads)
+    assert_tree_matches(imported, p)
+
+    def run(pp):
+        (v, au), _ = core.apply({"params": pp}, x, a, t, m, bt)
+        return v, au
+
+    v0, a0 = jax.jit(run)(p)
+    v1, a1 = jax.jit(run)(jax.tree.map(jnp.asarray, imported))
+    np.testing.assert_allclose(np.asarray(v0), np.asarray(v1), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a0), np.asarray(a1), atol=1e-6)
+
+
 def test_video_core_roundtrip():
     cfg = transformer_config(
         model_id="game_rft", n_layers=2, n_heads=2, d_model=32, channels=4,
