@@ -128,6 +128,183 @@ def _col_window(r0: int, sub: int, C: int, tpf: int, window: int):
     return pstart, send
 
 
+# ----------------------------------------------- frame-exact variant (fw)
+
+def _use_frame_exact(C: int) -> bool:
+    """Kernel-body policy: OWL_BAND_FW in {auto (default), 1, 0}.
+
+    The frame-exact bodies compute, per QUERY FRAME, attention against
+    exactly its window*tpf visible columns — no visibility mask at all
+    (frame-causal visibility is all-or-nothing at frame granularity) and
+    no wasted [C, 2C] logit width. This is the frame-blocked
+    batched-dense reformulation PERF.md round 3 named for the ragged
+    (tpf % 8 != 0) AV layouts, where the generic body's masked 2C-wide
+    softmax passes dominate (VPU-bound) and band2's traced-mask plans
+    all lost (docs/KERNELS.md §1c). ``auto`` policy is measurement-set
+    (chained-scan harness, PERF.md round 5): pending the on-chip A/B it
+    stays OFF; flip the return below to ``C % 128 != 0`` only with a
+    recorded same-day win at the ragged geometries."""
+    env = os.environ.get("OWL_BAND_FW", "auto")
+    if env in ("0", "1"):
+        return env == "1"
+    return False
+
+
+def _fwd_kernel_fw(q_ref, kp_ref, ks_ref, vp_ref, vs_ref, o_ref,
+                   *, tpf, window, hg, bound):
+    """Frame-exact forward: one body per (head, query frame j); kv =
+    [prev rows (j+1)*tpf: | self rows :(j+1)*tpf] — exactly the
+    window*tpf visible columns, mask-free. Slices land at multiples of
+    tpf (sublane-misaligned for ragged tpf — the bet is that Mosaic's
+    shifted loads cost less than the masked 2C-wide passes they
+    replace; the on-chip A/B in PERF.md decides the auto policy)."""
+    i = pl.program_id(1)
+    w = window
+    for h in range(hg):
+        for j in range(w):
+            e = (j + 1) * tpf
+            q = q_ref[h, j * tpf:e]                     # [tpf, Dh]
+            ss = jax.lax.dot_general(
+                q, ks_ref[h, :e], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)     # [tpf, e]
+            sp = jax.lax.dot_general(
+                q, kp_ref[h, e:], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) if j < w - 1 else None
+            if bound is None:
+                # all columns are visible — a plain row max (over the
+                # chunk-0 clamped prev re-read too: an upper bound of
+                # the visible max, exact for softmax)
+                m = jnp.max(ss, axis=-1, keepdims=True)
+                if sp is not None:
+                    m = jnp.maximum(m, jnp.max(sp, axis=-1, keepdims=True))
+            else:
+                m = bound
+            es = jnp.exp(jnp.minimum(ss - m, 0.0))
+            denom = jnp.sum(es, axis=-1, keepdims=True)
+            out = jax.lax.dot_general(
+                es.astype(vs_ref.dtype), vs_ref[h, :e],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            if sp is not None:
+                # chunk 0's prev operand is a clamped re-read of chunk
+                # 0 — one scalar multiply zeroes it (vs the mask-plane
+                # multiply of the generic body)
+                ep = jnp.exp(jnp.minimum(sp - m, 0.0)) \
+                    * (i > 0).astype(jnp.float32)
+                denom = denom + jnp.sum(ep, axis=-1, keepdims=True)
+                out += jax.lax.dot_general(
+                    ep.astype(vp_ref.dtype), vp_ref[h, e:],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            o_ref[h, j * tpf:e] = (out / denom).astype(o_ref.dtype)
+
+
+def _bwd_kernel_fw(q_ref, kp_ref, ks_ref, vp_ref, vs_ref, do_ref,
+                   dq_ref, dke_ref, dko_ref, dve_ref, dvo_ref,
+                   *, tpf, window, hg, bound):
+    """Frame-exact fused backward: per (head, query frame) recompute the
+    mask-free softmax and emit dq plus dk/dv chunk planes (the same
+    parity-plane writeback as _bwd_kernel — see its docstring)."""
+    i = pl.program_id(1)
+    C, Dh = q_ref.shape[1], q_ref.shape[2]
+    w = window
+    for h in range(hg):
+      dks = jnp.zeros((C, Dh), jnp.float32)
+      dkp = jnp.zeros((C, Dh), jnp.float32)
+      dvs = jnp.zeros((C, Dh), jnp.float32)
+      dvp = jnp.zeros((C, Dh), jnp.float32)
+      for j in range(w):
+        e = (j + 1) * tpf
+        q = q_ref[h, j * tpf:e]
+        do = do_ref[h, j * tpf:e].astype(jnp.float32)
+        ks, vs = ks_ref[h, :e], vs_ref[h, :e]
+        ss = jax.lax.dot_general(
+            q, ks, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        has_prev = j < w - 1
+        if has_prev:
+            kp, vp = kp_ref[h, e:], vp_ref[h, e:]
+            sp = jax.lax.dot_general(
+                q, kp, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        if bound is None:
+            m = jnp.max(ss, axis=-1, keepdims=True)
+            if has_prev:
+                m = jnp.maximum(m, jnp.max(sp, axis=-1, keepdims=True))
+        else:
+            m = bound
+        es = jnp.exp(jnp.minimum(ss - m, 0.0))
+        denom = jnp.sum(es, axis=-1, keepdims=True)
+        dps = jax.lax.dot_general(
+            do.astype(vs.dtype), vs, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        if has_prev:
+            ep = jnp.exp(jnp.minimum(sp - m, 0.0)) \
+                * (i > 0).astype(jnp.float32)
+            denom = denom + jnp.sum(ep, axis=-1, keepdims=True)
+            dpp = jax.lax.dot_general(
+                do.astype(vp.dtype), vp, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        inv = 1.0 / denom
+        delta = jnp.sum(es * dps, axis=-1, keepdims=True)
+        if has_prev:
+            delta = delta + jnp.sum(ep * dpp, axis=-1, keepdims=True)
+        delta = delta * inv
+        dss = es * ((dps - delta) * inv)
+        dss_b = dss.astype(q.dtype)
+        dq = jax.lax.dot_general(
+            dss_b, ks, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        if has_prev:
+            dsp = ep * ((dpp - delta) * inv)
+            dsp_b = dsp.astype(q.dtype)
+            dq += jax.lax.dot_general(
+                dsp_b, kp, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        dq_ref[h, j * tpf:e] = dq.astype(dq_ref.dtype)
+        do_scaled = (do * inv).astype(q.dtype)
+        es_b = es.astype(q.dtype)
+        pad_s = ((0, C - e), (0, 0))
+        dvs = dvs + jnp.pad(jax.lax.dot_general(
+            es_b, do_scaled, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32), pad_s)
+        dks = dks + jnp.pad(jax.lax.dot_general(
+            dss_b, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32), pad_s)
+        if has_prev:
+            ep_b = ep.astype(q.dtype)
+            pad_p = ((e, 0), (0, 0))
+            dvp = dvp + jnp.pad(jax.lax.dot_general(
+                ep_b, do_scaled, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32), pad_p)
+            dkp = dkp + jnp.pad(jax.lax.dot_general(
+                dsp_b, q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32), pad_p)
+      even = i % 2 == 0
+
+      @pl.when(even)
+      def _():
+          dke_ref[h, 0] = dks.astype(dke_ref.dtype)
+          dve_ref[h, 0] = dvs.astype(dve_ref.dtype)
+
+      @pl.when(even & (i > 0))
+      def _():
+          dko_ref[h, 0] += dkp.astype(dko_ref.dtype)
+          dvo_ref[h, 0] += dvp.astype(dvo_ref.dtype)
+
+      @pl.when(jnp.logical_not(even))
+      def _():
+          dko_ref[h, 0] = dks.astype(dko_ref.dtype)
+          dvo_ref[h, 0] = dvs.astype(dvo_ref.dtype)
+          dke_ref[h, 0] += dkp.astype(dke_ref.dtype)
+          dve_ref[h, 0] += dvp.astype(dve_ref.dtype)
+
+      @pl.when(i == 0)
+      def _():
+          dko_ref[h, 0] = dkp.astype(dko_ref.dtype)  # zeros: masked
+          dvo_ref[h, 0] = dvp.astype(dvo_ref.dtype)
+
+
 # --------------------------------------------------------------- forward
 
 def _fwd_kernel(q_ref, kp_ref, ks_ref, vp_ref, vs_ref, o_ref,
@@ -219,7 +396,8 @@ def _head_group(H: int, C: int, Dh: int, n_bufs: int) -> int:
     return 1
 
 
-def _fwd(q, k, v, tokens_per_frame, window, interpret=False, bound=None):
+def _fwd(q, k, v, tokens_per_frame, window, interpret=False, bound=None,
+         fw=False):
     H, L, Dh = q.shape
     C = window * tokens_per_frame
     nc = L // C
@@ -228,10 +406,13 @@ def _fwd(q, k, v, tokens_per_frame, window, interpret=False, bound=None):
     cur = pl.BlockSpec((hg, C, Dh), lambda g, i: (g, i, 0))
     prev = pl.BlockSpec((hg, C, Dh), lambda g, i: (g, jnp.maximum(i - 1, 0), 0))
 
+    body = functools.partial(_fwd_kernel_fw, tpf=tokens_per_frame,
+                             window=window, hg=hg, bound=bound) if fw \
+        else functools.partial(_fwd_kernel, tpf=tokens_per_frame,
+                               window=window, sub=_sub_rows(C), hg=hg,
+                               bound=bound)
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, tpf=tokens_per_frame,
-                          window=window, sub=_sub_rows(C), hg=hg,
-                          bound=bound),
+        body,
         grid=(H // hg, nc),
         in_specs=[cur, prev, cur, prev, cur],
         out_specs=pl.BlockSpec((hg, C, Dh), lambda g, i: (g, i, 0)),
@@ -386,7 +567,7 @@ def _bwd_kernel(q_ref, kp_ref, ks_ref, vp_ref, vs_ref, do_ref,
           dvo_ref[h, 0] = dvp.astype(dvo_ref.dtype)
 
 
-def _bwd(tokens_per_frame, window, interpret, bound, res, g):
+def _bwd(tokens_per_frame, window, interpret, bound, fw, res, g):
     q, k, v = res
     H, L, Dh = q.shape
     C = window * tokens_per_frame
@@ -402,10 +583,13 @@ def _bwd(tokens_per_frame, window, interpret, bound, res, g):
     od = pl.BlockSpec((hg, 1, C, Dh),
                       lambda g, i: (g, jnp.maximum((i - 1) // 2, 0), 0, 0))
 
+    body = functools.partial(_bwd_kernel_fw, tpf=tokens_per_frame,
+                             window=window, hg=hg, bound=bound) if fw \
+        else functools.partial(_bwd_kernel, tpf=tokens_per_frame,
+                               window=window, sub=_sub_rows(C), hg=hg,
+                               bound=bound)
     dq, dke, dko, dve, dvo = pl.pallas_call(
-        functools.partial(_bwd_kernel, tpf=tokens_per_frame,
-                          window=window, sub=_sub_rows(C), hg=hg,
-                          bound=bound),
+        body,
         grid=(H // hg, nc),
         in_specs=[cur, prev, cur, prev, cur, cur],
         out_specs=[cur, ev, od, ev, od],
@@ -432,15 +616,16 @@ def _bwd(tokens_per_frame, window, interpret, bound, res, g):
             interleave(dke, dko), interleave(dve, dvo))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def _band_attention_hl(q, k, v, tokens_per_frame, window, interpret, bound):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _band_attention_hl(q, k, v, tokens_per_frame, window, interpret, bound,
+                       fw):
     return _fwd((q * (q.shape[-1] ** -0.5)).astype(q.dtype), k, v,
-                tokens_per_frame, window, interpret, bound)
+                tokens_per_frame, window, interpret, bound, fw)
 
 
-def _band_fwd_rule(q, k, v, tokens_per_frame, window, interpret, bound):
+def _band_fwd_rule(q, k, v, tokens_per_frame, window, interpret, bound, fw):
     qs = (q * (q.shape[-1] ** -0.5)).astype(q.dtype)
-    out = _fwd(qs, k, v, tokens_per_frame, window, interpret, bound)
+    out = _fwd(qs, k, v, tokens_per_frame, window, interpret, bound, fw)
     return out, (qs, k, v)
 
 
@@ -449,7 +634,8 @@ _band_attention_hl.defvjp(_band_fwd_rule, _bwd)
 
 def band_attention(q, k, v, tokens_per_frame: int, window: int,
                    head_chunks: int = 1, interpret: bool = False,
-                   logit_bound: Optional[float] = None):
+                   logit_bound: Optional[float] = None,
+                   frame_exact: Optional[bool] = None):
     """Frame-causal sliding-window attention via the band kernel.
 
     q/k/v: [B, H, L, Dh] (bf16 on TPU). Requires
@@ -474,6 +660,8 @@ def band_attention(q, k, v, tokens_per_frame: int, window: int,
     """
     B, H, L, Dh = q.shape
     assert band_available(L, tokens_per_frame, window, True)
+    if frame_exact is None:
+        frame_exact = _use_frame_exact(window * tokens_per_frame)
     if head_chunks > 1 and H % head_chunks == 0 and H > head_chunks:
         hc = H // head_chunks
         outs = [
@@ -481,7 +669,7 @@ def band_attention(q, k, v, tokens_per_frame: int, window: int,
                            k[:, c * hc:(c + 1) * hc],
                            v[:, c * hc:(c + 1) * hc],
                            tokens_per_frame, window, 1, interpret,
-                           logit_bound)
+                           logit_bound, frame_exact)
             for c in range(head_chunks)
         ]
         return jnp.concatenate(outs, axis=1)
@@ -491,5 +679,6 @@ def band_attention(q, k, v, tokens_per_frame: int, window: int,
     out = _band_attention_hl(
         q.reshape(B * H, L, Dh), k.reshape(B * H, L, Dh),
         v.reshape(B * H, L, Dh), tokens_per_frame, window, interpret,
-        None if logit_bound is None else float(logit_bound))
+        None if logit_bound is None else float(logit_bound),
+        bool(frame_exact))
     return out.reshape(B, H, L, Dh)

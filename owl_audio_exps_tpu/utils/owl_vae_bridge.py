@@ -58,8 +58,14 @@ def get_audio_encoder_decoder(cfg_path: Optional[str] = None,
                                               jnp.bfloat16),
                                ckpt_path and ckpt_path + "_dec")
 
-    encode = jax.jit(lambda x: enc.apply(enc_params, x))
-    decode = jax.jit(lambda z: dec.apply(dec_params, z))
+    # params enter the jits as ARGUMENTS: a closed-over tree is inlined
+    # into the HLO as literals — megabytes of program body that compile
+    # slowly and can exceed the axon relay's request cap (PERF.md
+    # serve-bench gotcha; same fix as the serve pipeline)
+    _enc = jax.jit(lambda p, x: enc.apply(p, x))
+    _dec = jax.jit(lambda p, z: dec.apply(p, z))
+    encode = lambda x: _enc(enc_params, x)
+    decode = lambda z: _dec(dec_params, z)
     return encode, decode
 
 
@@ -93,12 +99,14 @@ class PixelShuffleVideoDecoder:
         self.params = _init_or_load(
             self.module, jnp.zeros((1, 4, 4, latent_channels), jnp.bfloat16),
             ckpt_path)
-        self._fn = jax.jit(lambda z: self.module.apply(self.params, z))
+        # params as jit ARGUMENTS (not closure literals) — see
+        # get_audio_encoder_decoder
+        self._fn = jax.jit(lambda p, z: self.module.apply(p, z))
 
     def __call__(self, z_bchw):
         # [b, c, h, w] -> [b, H, W, 3]
         z = jnp.transpose(z_bchw, (0, 2, 3, 1))
-        return self._fn(z)
+        return self._fn(self.params, z)
 
 
 class DCAEVideoDecoder:
@@ -121,12 +129,15 @@ class DCAEVideoDecoder:
             self.params = self.module.init(
                 jax.random.key(0), jnp.zeros((1, 8, 8, latent_channels),
                                              jnp.bfloat16))
-        self._fn = jax.jit(lambda z: self.module.apply(self.params, z))
+        # params as jit ARGUMENTS (not closure literals): the inlined
+        # DCAE tree made the serve-decode program body enormous — slow
+        # relay upload + slow compile (round-5 fix; PERF.md gotcha)
+        self._fn = jax.jit(lambda p, z: self.module.apply(p, z))
 
     def __call__(self, z_bchw):
         # [b, c, h, w] latents -> [b, H, W, 3] frames
         z = jnp.transpose(z_bchw, (0, 2, 3, 1)).astype(jnp.bfloat16)
-        return self._fn(z).astype(jnp.float32)
+        return self._fn(self.params, z).astype(jnp.float32)
 
 
 def get_decoder_only(vae_id: Optional[str], cfg_path: Optional[str] = None,

@@ -60,7 +60,9 @@ def bench_audio():
     vparams = jax.tree.map(
         lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
         vparams)
-    dec = jax.jit(lambda z: vae.apply(vparams, z, method=vae.decode))
+    # params as jit arguments — closure literals bloat the relay upload
+    _dec = jax.jit(lambda p, z: vae.apply(p, z, method=vae.decode))
+    dec = lambda z: _dec(vparams, z)
 
     # warmup both programs
     lat = sampler(core, params, x, jax.random.key(2))
@@ -125,27 +127,42 @@ def bench_video():
     out = sampler(core, params, x, mouse, btn, jax.random.key(1))
     np.asarray(out)
     np.asarray(decoder(out[:, 0]))
+    np.asarray(decoder(out[0, :N_GEN]))      # batched program too
 
-    lat_t, dec_t = [], []
+    lat_t, dec_t, decb_t = [], [], []
     for i in range(3):
         t_start = time.perf_counter()
         out = sampler(core, params, x, mouse, btn, jax.random.key(2 + i))
         np.asarray(out)
         t_mid = time.perf_counter()
+        # per-tick eager decode: one dispatch + frame fetch per frame —
+        # the interactive-loop shape; through the relay this is
+        # dispatch-bound (PERF.md gotcha 3), on-node it is not
         frames = [np.asarray(decoder(out[:, f])) for f in range(N_GEN)]
         t_end = time.perf_counter()
+        # batched decode of the same frames: one dispatch — the chip
+        # compute cost without the per-tick relay round trips
+        np.asarray(decoder(out[0, :N_GEN]))
+        t_b = time.perf_counter()
         lat_t.append(t_mid - t_start)
         dec_t.append(t_end - t_mid)
+        decb_t.append(t_b - t_end)
     lat_w, dec_w = float(np.median(lat_t)), float(np.median(dec_t))
+    decb_w = float(np.median(decb_t))
     e2e = lat_w + dec_w
+    e2e_b = lat_w + decb_w
     print(f"video: dit_v4 0.45B cap={CAP} steps={STEPS} gen={N_GEN}; "
           f"frame out {frames[0].shape}")
     print(f"  latent-only  {lat_w/N_GEN*1e3:8.2f} ms/frame "
           f"({N_GEN/lat_w:6.1f} f/s)")
-    print(f"  decode       {dec_w/N_GEN*1e3:8.2f} ms/frame "
-          f"({dec_w/e2e*100:.1f}% of e2e)")
-    print(f"  end-to-end   {e2e/N_GEN*1e3:8.2f} ms/frame "
+    print(f"  decode/tick  {dec_w/N_GEN*1e3:8.2f} ms/frame "
+          f"({dec_w/e2e*100:.1f}% of e2e; per-frame dispatch)")
+    print(f"  decode/batch {decb_w/N_GEN*1e3:8.2f} ms/frame "
+          f"(one dispatch for {N_GEN} frames)")
+    print(f"  e2e per-tick {e2e/N_GEN*1e3:8.2f} ms/frame "
           f"({N_GEN/e2e:6.1f} f/s incl. decode; budget 16.7 ms)")
+    print(f"  e2e batched  {e2e_b/N_GEN*1e3:8.2f} ms/frame "
+          f"({N_GEN/e2e_b:6.1f} f/s incl. decode)")
 
 
 if __name__ == "__main__":

@@ -155,6 +155,57 @@ def test_fixed_shift_generic_bound():
                                atol=3e-5, rtol=3e-5)
 
 
+@pytest.mark.parametrize("tpf,window,n_chunks", [
+    (65, 8, 2),     # AV-interleaved ragged layout (the target geometry)
+    (65, 8, 3),     # odd chunk count (parity-plane edge)
+    (65, 16, 2),    # C=1040
+    (64, 2, 3),     # lane-aligned also exact (policy may not pick it)
+    (128, 1, 4),    # window == 1: no prev branch at all
+])
+def test_frame_exact_matches_dense(tpf, window, n_chunks):
+    """The frame-exact (fw) bodies are oracle-exact: forward + grads,
+    with and without the fixed-shift bound."""
+    rs = np.random.RandomState(21)
+    C = window * tpf
+    L = n_chunks * C
+    B, H, Dh = 1, 2, 64
+    q, k, v = _qkv(rs, B, H, L, Dh)
+    gw = jnp.asarray(rs.randn(B, H, L, Dh), jnp.float32)
+    want = dot_attention(q, k, v, dense_mask(L, tpf, window, None, 0, True))
+    for bound in (None, 40.0):
+        got = band_attention(q, k, v, tpf, window, interpret=True,
+                             logit_bound=bound, frame_exact=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=3e-5, rtol=3e-5)
+
+    def loss_band(q, k, v):
+        return jnp.vdot(band_attention(q, k, v, tpf, window,
+                                       interpret=True, logit_bound=40.0,
+                                       frame_exact=True), gw)
+
+    def loss_dense(q, k, v):
+        return jnp.vdot(dot_attention(
+            q, k, v, dense_mask(L, tpf, window, None, 0, True)), gw)
+
+    g = jax.grad(loss_band, argnums=(0, 1, 2))(q, k, v)
+    gd = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip("qkv", g, gd):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4, rtol=2e-4,
+            err_msg=f"d{name} mismatch (frame_exact)")
+
+
+def test_frame_exact_env_override(monkeypatch):
+    monkeypatch.setenv("OWL_BAND_FW", "1")
+    rs = np.random.RandomState(22)
+    tpf, window, L = 65, 8, 1040
+    q, k, v = _qkv(rs, 1, 2, L, 64)
+    want = dot_attention(q, k, v, dense_mask(L, tpf, window, None, 0, True))
+    got = band_attention(q, k, v, tpf, window, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=3e-5, rtol=3e-5)
+
+
 @pytest.mark.parametrize("mode", ["0", "1", "prev", "self"])
 def test_colslice_modes_match_dense(mode, monkeypatch):
     """Every OWL_BAND_COLSLICE mode is exact (the column windows only
