@@ -122,7 +122,7 @@ MODEL_DEFAULTS: Dict[str, Any] = dict(
     n_mouse_axes=2,
     # TPU attention path selection (framework extensions)
     attn_impl="auto",     # training path: auto | dense | splash
-    decode_impl="auto",   # cached decode: auto | dense | flash
+    decode_impl="auto",   # cached decode: auto | dense (flash kernel deleted r5 — lost win-or-delete, docs/KERNELS.md §2b)
     cache_attn_impl="concat",  # ring+new merge: concat | noconcat
 )
 

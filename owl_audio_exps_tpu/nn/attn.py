@@ -55,34 +55,6 @@ def use_splash_path(config, q_len: int, kv_cache, decoding: bool) -> bool:
     return splash_available(q_len) and q_len >= 1024
 
 
-def use_flash_decode(config, is_local: bool, q_len: int, kv_cache,
-                     decoding: bool) -> bool:
-    """Route decode-mode global-layer cached attention through the pallas
-    flash-decode kernel (ops/flash_decode.py) on TPU: validity-masked
-    attention over the ring without materializing [Lq, S] logits.
-    Override with config.decode_impl in {'auto', 'dense', 'flash'}."""
-    impl = config.get("decode_impl", "auto")
-    if impl == "dense" or not decoding or kv_cache is None:
-        return False
-    # only the pure-validity visibility of decode-mode global layers
-    if is_local and config.get("local_window") is not None:
-        return False
-    S = kv_cache.capacity
-    if S % 128 != 0 or config.d_model % 128 != 0:
-        return False
-    if impl == "flash":
-        return True
-    # Measured head-to-head on v5e (docs/KERNELS.md, 24 heads x 65-token
-    # frame): XLA's fused dense cached attention streams the softmax and
-    # never spills logits — 2.1/2.7/3.9/5.1 ms at 16k/32k/64k/98k cached
-    # tokens vs 2.4/3.7/5.8/8.0 ms for the Pallas kernel (whose per-head
-    # 65x64xBK matmuls underuse the MXU at this geometry). Auto therefore
-    # routes dense at every size; the kernel remains available by opt-in
-    # (decode_impl: flash) and as the spill-proof fallback for geometries
-    # where [Lq, S] logits would not fit (much larger Lq or f32 logits).
-    return False
-
-
 def can_local_gather(config, q_len: int, kv_cache) -> bool:
     """Decode fast-path eligibility: local layers gather the trailing
     window from the ring instead of masking over the full capacity."""
@@ -260,25 +232,15 @@ def cached_attention(cfg, layer_idx: int, local: bool, dtype,
     L = q.shape[2]
     kv_write = (k, v) if (kv_cache is not None and write) else None
     if kv_cache is not None:
-        if use_flash_decode(cfg, local, L, kv_cache, decoding):
-            from ..ops.flash_decode import flash_decode
-            ck, cv = kv_cache.read_layer(layer_idx)
-            if kv_cache.shadow:
-                ck = ck[:, :, :kv_cache.capacity]
-                cv = cv[:, :, :kv_cache.capacity]
-            # block_k = 256 pipelines best on v5e (scripts/tpu_flash_tune.py:
-            # 1.85 ms vs 3.3 ms at bk=512 for a 32k-token cache)
-            block_k = 128
-            for cand in (256, 128):
-                if kv_cache.capacity % cand == 0:
-                    block_k = cand
-                    break
-            out = flash_decode(
-                q.astype(dtype), ck.astype(dtype), cv.astype(dtype),
-                k.astype(dtype), v.astype(dtype),
-                kv_cache.start, kv_cache.length, block_k=block_k)
-            return out, kv_write
-
+        # Decode-mode global layers route through XLA's fused dense
+        # cached attention unconditionally. A packed-lane Pallas
+        # flash-decode kernel was built, tuned, and measured three
+        # separate ways (docs/KERNELS.md §2b incl. the round-5
+        # chained-scan re-measure: dense 2.5/3.7/6.2/8.3 ms at
+        # 16k/32k/64k/98k vs flash 0.77x standalone and a remote-compile
+        # failure in-scan) — XLA streams the softmax and never spills
+        # the [Lq, S] logits, so the kernel lost at every shipped
+        # geometry and was DELETED (win-or-delete, round 5).
         local_w = cfg.get("local_window")
         # cache_attn_impl: "concat" (default) materializes [ring | new]
         # K/V and runs one fused attention — on v5e XLA fuses the

@@ -46,8 +46,11 @@ def run(S, B):
     length = jnp.full((), S, jnp.int32)      # full ring (steady state)
     valid = jnp.ones((1, Lq, S + Lq), bool)
 
+    # caches/masks enter as ARGUMENTS — closed-over arrays inline into
+    # the HLO as literals and blow the relay's request cap (HTTP 413 at
+    # S >= 32k; same fix as utils/owl_vae_bridge.py round 5)
     @jax.jit
-    def dense_k(q0):
+    def dense_k(q0, kc, vc, kcur, vcur, valid):
         def body(q, _):
             o = cached_dot_attention(q, kc, vc, kcur, vcur, valid)
             return o.astype(q.dtype), ()
@@ -55,16 +58,17 @@ def run(S, B):
         return jnp.sum(qf.astype(jnp.float32))
 
     @jax.jit
-    def flash_k(q0):
+    def flash_k(q0, kc, vc, kcur, vcur, start, length):
         def body(q, _):
             o = flash_decode(q, kc, vc, kcur, vcur, start, length)
             return o.astype(q.dtype), ()
         qf, _ = jax.lax.scan(body, q0, None, length=K)
         return jnp.sum(qf.astype(jnp.float32))
 
-    td = bench(dense_k, q0)
+    td = bench(lambda q: dense_k(q, kc, vc, kcur, vcur, valid), q0)
     try:
-        tf = bench(flash_k, q0)
+        tf = bench(lambda q: flash_k(q, kc, vc, kcur, vcur, start,
+                                     length), q0)
     except Exception as ex:
         print(f"S={S} B={B}: dense {td*1e3:7.3f} ms, flash FAILED "
               f"{type(ex).__name__}: {str(ex)[:80]}")

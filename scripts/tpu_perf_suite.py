@@ -20,8 +20,6 @@ RUNS = [
      [sys.executable, "scripts/tpu_train_bench.py", "256", "1"]),
     ("splash attention numerics",
      [sys.executable, "scripts/tpu_splash_check.py"]),
-    ("flash-decode numerics + perf",
-     [sys.executable, "scripts/tpu_flash_decode_check.py"]),
 ]
 
 
