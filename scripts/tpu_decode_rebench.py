@@ -18,7 +18,11 @@ import jax, jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/root/jax_tpu_cache")
 
 from owl_audio_exps_tpu.ops.attention import cached_dot_attention
-from owl_audio_exps_tpu.ops.flash_decode import flash_decode
+# ops/flash_decode.py was DELETED at round-5 HEAD after losing this
+# re-measure (docs/KERNELS.md §2b): dense won at every geometry and the
+# in-scan flash program failed remote compilation. This script remains
+# as the dense in-scan decode baseline; `git show 953c78f^ --
+# owl_audio_exps_tpu/ops/flash_decode.py` recovers the kernel.
 
 H, Dh, Lq = 24, 64, 65
 K = 16
@@ -42,8 +46,6 @@ def run(S, B):
     vc = jnp.asarray(rs.randn(B, H, S, Dh), jnp.bfloat16)
     kcur = jnp.asarray(rs.randn(B, H, Lq, Dh), jnp.bfloat16)
     vcur = jnp.asarray(rs.randn(B, H, Lq, Dh), jnp.bfloat16)
-    start = jnp.zeros((), jnp.int32)
-    length = jnp.full((), S, jnp.int32)      # full ring (steady state)
     valid = jnp.ones((1, Lq, S + Lq), bool)
 
     # caches/masks enter as ARGUMENTS — closed-over arrays inline into
@@ -57,26 +59,9 @@ def run(S, B):
         qf, _ = jax.lax.scan(body, q0, None, length=K)
         return jnp.sum(qf.astype(jnp.float32))
 
-    @jax.jit
-    def flash_k(q0, kc, vc, kcur, vcur, start, length):
-        def body(q, _):
-            o = flash_decode(q, kc, vc, kcur, vcur, start, length)
-            return o.astype(q.dtype), ()
-        qf, _ = jax.lax.scan(body, q0, None, length=K)
-        return jnp.sum(qf.astype(jnp.float32))
-
     td = bench(lambda q: dense_k(q, kc, vc, kcur, vcur, valid), q0)
-    try:
-        tf = bench(lambda q: flash_k(q, kc, vc, kcur, vcur, start,
-                                     length), q0)
-    except Exception as ex:
-        print(f"S={S} B={B}: dense {td*1e3:7.3f} ms, flash FAILED "
-              f"{type(ex).__name__}: {str(ex)[:80]}")
-        return
     bw = (2 * B * H * S * Dh * 2) / 1e9      # K+V bytes read, GB
-    print(f"S={S:6d} B={B}: dense {td*1e3:7.3f} ms "
-          f"({bw/td:.0f} GB/s)  flash {tf*1e3:7.3f} ms "
-          f"({bw/tf:.0f} GB/s)  flash/dense {tf/td:5.2f}x")
+    print(f"S={S:6d} B={B}: dense {td*1e3:7.3f} ms ({bw/td:.0f} GB/s)")
 
 
 if __name__ == "__main__":
