@@ -177,11 +177,15 @@ def train_attention(cfg, local: bool, q, k, v, doc_id=None,
             # config band_fixed_shift: false restores the max path.
             bound = (float(q.shape[-1]) ** 0.5
                      if cfg.get("band_fixed_shift", True) else None)
-            # v2 sub-window chunks where a measured-winning plan exists
-            # (frame-aligned, S >= 256 — docs/KERNELS.md §1c; +10.9%
-            # per layer at the dit tpf=64 geometries). `local_attn_impl:
-            # band` pins v1; `band2` requires a v2 plan.
-            if impl in ("auto", "band2") \
+            # routing precedence (same-day triple, docs/KERNELS.md §1c
+            # + round-5 fw A/B): the frame-exact fw body wins at
+            # lane-aligned spans (ties v2-best at 16k, beats it at 65k)
+            # and engages via band_attention's own auto policy; v2
+            # sub-window plans only fire when fw does not (`band2` pins
+            # v2 explicitly; `band` pins v1).
+            from ..ops.band import _use_frame_exact
+            fw_auto = impl == "auto" and _use_frame_exact(window * tpf)
+            if impl in ("auto", "band2") and not fw_auto \
                     and cfg.get("band_v2", True):
                 from ..ops.band2 import band2_attention, best_plan
                 plan = best_plan(L, tpf, window)
@@ -194,7 +198,9 @@ def train_attention(cfg, local: bool, q, k, v, doc_id=None,
                         f"local_attn_impl=band2: no legal v2 plan for "
                         f"L={L}, tpf={tpf}, window={window}")
             return band_attention(q, k, v, tpf, window, head_chunks=hc,
-                                  logit_bound=bound)
+                                  logit_bound=bound,
+                                  frame_exact=(False if impl == "band"
+                                               else None))
         if (impl == "chunked" or (impl == "auto" and not on_tpu)) \
                 and chunked_local_available(L, tpf, window, True):
             return chunked_local_attention(q, k, v, tpf, window, doc_id)

@@ -137,17 +137,22 @@ def _use_frame_exact(C: int) -> bool:
     exactly its window*tpf visible columns — no visibility mask at all
     (frame-causal visibility is all-or-nothing at frame granularity) and
     no wasted [C, 2C] logit width. This is the frame-blocked
-    batched-dense reformulation PERF.md round 3 named for the ragged
-    (tpf % 8 != 0) AV layouts, where the generic body's masked 2C-wide
-    softmax passes dominate (VPU-bound) and band2's traced-mask plans
-    all lost (docs/KERNELS.md §1c). ``auto`` policy is measurement-set
-    (chained-scan harness, PERF.md round 5): pending the on-chip A/B it
-    stays OFF; flip the return below to ``C % 128 != 0`` only with a
-    recorded same-day win at the ragged geometries."""
+    batched-dense reformulation PERF.md round 3 named.
+
+    ``auto`` policy is measurement-set (chained-scan harness, same-day
+    triple v1/v2/fw, PERF.md round 5): fw wins at LANE-ALIGNED spans —
+    dit16k fwd+bwd 10.90 ms/layer (v1 12.27, v2-best 10.90: tie),
+    dit65k 38.68 (v1 44.58, v2-best 39.62: fw beats both), fwd-only
+    +21% over v1 at 65k — the exact per-frame slices land on 8-sublane
+    boundaries when tpf % 8 == 0, so the 2x logit-width saving is pure
+    win. At RAGGED spans (tpf=65: av384 -12.0%, av512 -11.7% fwd+bwd)
+    Mosaic's shifted loads for the misaligned per-frame slices cost
+    more than the masked passes they replace, so v1 (colslice + fixed
+    shift) stays the ragged champion."""
     env = os.environ.get("OWL_BAND_FW", "auto")
     if env in ("0", "1"):
         return env == "1"
-    return False
+    return C % 128 == 0
 
 
 def _fwd_kernel_fw(q_ref, kp_ref, ks_ref, vp_ref, vs_ref, o_ref,
