@@ -11,6 +11,7 @@ the right subtree.
 from __future__ import annotations
 
 import os
+import atexit
 from typing import Any, Dict, Optional
 
 import orbax.checkpoint as ocp
@@ -24,6 +25,24 @@ def _ckptr() -> ocp.StandardCheckpointer:
     if _SHARED_CKPTR is None:
         _SHARED_CKPTR = ocp.StandardCheckpointer()
     return _SHARED_CKPTR
+
+
+def _close_shared() -> None:
+    """atexit: orbax Checkpointers own a NON-daemon metadata-store
+    executor thread (metadata_store_0) that blocks interpreter teardown
+    if never closed — the round-4 pytest exit hang (tests/conftest.py
+    diagnosed it). Closing here fixes every consumer: trainers, tests,
+    scripts."""
+    global _SHARED_CKPTR
+    if _SHARED_CKPTR is not None:
+        try:
+            _SHARED_CKPTR.close()
+        except Exception:
+            pass
+        _SHARED_CKPTR = None
+
+
+atexit.register(_close_shared)
 
 
 def save_checkpoint(path: str, state: Dict[str, Any],

@@ -114,6 +114,12 @@ def pytest_sessionfinish(session, exitstatus):
     # summary line sat unflushed in the stdout buffer while exit hung.
     # Close them explicitly.
     try:
+        from owl_audio_exps_tpu.utils import checkpoints as _ck
+        _ck._close_shared()   # also registered atexit; here it keeps the
+        # stray-thread report below accurate
+    except Exception:
+        pass
+    try:
         from orbax.checkpoint._src.metadata import checkpoint as _om
         for _name in dir(_om):
             _obj = getattr(_om, _name)
