@@ -24,10 +24,12 @@ from owl_audio_exps_tpu.ops.band import band_attention
 GEOS = {
     # name: (L, tpf, window, H, Dh, head_chunks)
     "av384": (24960, 65, 8, 24, 64, 1),
+    "av384w16": (24960, 65, 16, 24, 64, 1),   # the step bench's window
     "av512": (33280, 65, 8, 24, 64, 1),
     "av640": (41600, 65, 8, 24, 64, 1),
     "dit16k": (16384, 64, 16, 24, 64, 1),
     "dit65k": (65536, 64, 16, 24, 64, 4),
+    "dit98k": (98304, 64, 16, 24, 64, 4),
 }
 
 BOUND = 64.0 ** 0.5
