@@ -34,8 +34,14 @@ from owl_audio_exps_tpu.muon import muon
 from owl_audio_exps_tpu.parallel.sharding import param_shardings
 
 # dit_v4_5B muon-group shapes, scan_layers-stacked: 9 groups of
-# [global, local x3] -> leading axis 9; d_model 2560
-G, D = 9, 2560
+# [global, local x3] -> leading axis 9; d_model 2560.
+# MUON_CHECK_G / MUON_CHECK_D shrink the geometry for the wall-clock
+# mode: the build host exposes ONE core behind the 8-device virtual
+# mesh, so full-5B CPU wall-clock is ~hours — the layout comparison
+# (fsdp rules vs explicit round-robin reshard) is scale-free, and the
+# per-device compiled-FLOPs run stays at full 5B scale.
+G = int(os.environ.get("MUON_CHECK_G", "9"))
+D = int(os.environ.get("MUON_CHECK_D", "2560"))
 SHAPES = {
     "blocks.attn.qkv.kernel": (G, D, 3 * D),
     "blocks.attn.out.kernel": (G, D, D),
