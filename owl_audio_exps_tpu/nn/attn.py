@@ -184,7 +184,7 @@ def train_attention(cfg, local: bool, q, k, v, doc_id=None,
             # sub-window plans only fire when fw does not (`band2` pins
             # v2 explicitly; `band` pins v1).
             from ..ops.band import _use_frame_exact
-            fw_auto = impl == "auto" and _use_frame_exact(window * tpf)
+            fw_auto = impl == "auto" and _use_frame_exact(window * tpf, tpf)
             if impl in ("auto", "band2") and not fw_auto \
                     and cfg.get("band_v2", True):
                 from ..ops.band2 import band2_attention, best_plan
@@ -230,14 +230,25 @@ def cached_attention(cfg, layer_idx: int, local: bool, dtype,
     layers' writes into one fused cache update — per-layer updates defeat
     XLA in-place aliasing on large carried caches). Path selection:
       * splash Pallas kernel for long un-cached sequences (training);
-      * flash-decode Pallas kernel for decode-mode global layers;
       * O(window) ring gather for decode-mode local layers;
+      * XLA fused dense cached attention for decode-mode global layers
+        (a Pallas flash-decode kernel lost the win-or-delete re-measure
+        and was deleted — see the routing comment below);
       * masked dense attention otherwise.
     """
     tpf = tokens_per_frame or cfg.tokens_per_frame
     L = q.shape[2]
     kv_write = (k, v) if (kv_cache is not None and write) else None
     if kv_cache is not None:
+        impl = cfg.get("decode_impl", "auto")
+        if impl not in ("auto", "dense"):
+            # never let a pinned impl silently run something else (same
+            # principle as the band2 fallthrough raise): 'flash' was
+            # deleted in round 5
+            raise ValueError(
+                f"decode_impl={impl!r}: valid values are 'auto'/'dense' "
+                "(the flash kernel was deleted after losing the "
+                "win-or-delete re-measure, docs/KERNELS.md §2b)")
         # Decode-mode global layers route through XLA's fused dense
         # cached attention unconditionally. A packed-lane Pallas
         # flash-decode kernel was built, tuned, and measured three

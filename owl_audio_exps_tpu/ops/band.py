@@ -130,7 +130,7 @@ def _col_window(r0: int, sub: int, C: int, tpf: int, window: int):
 
 # ----------------------------------------------- frame-exact variant (fw)
 
-def _use_frame_exact(C: int) -> bool:
+def _use_frame_exact(C: int, tpf: int) -> bool:
     """Kernel-body policy: OWL_BAND_FW in {auto (default), 1, 0}.
 
     The frame-exact bodies compute, per QUERY FRAME, attention against
@@ -152,7 +152,10 @@ def _use_frame_exact(C: int) -> bool:
     env = os.environ.get("OWL_BAND_FW", "auto")
     if env in ("0", "1"):
         return env == "1"
-    return C % 128 == 0
+    # lane-aligned span AND sublane-aligned tpf: the win requires the
+    # per-frame slices themselves to be aligned (a ragged tpf can still
+    # produce a lane-aligned C, e.g. tpf=65 w=128)
+    return C % 128 == 0 and tpf % 8 == 0
 
 
 def _fwd_kernel_fw(q_ref, kp_ref, ks_ref, vp_ref, vs_ref, o_ref,
@@ -666,7 +669,8 @@ def band_attention(q, k, v, tokens_per_frame: int, window: int,
     B, H, L, Dh = q.shape
     assert band_available(L, tokens_per_frame, window, True)
     if frame_exact is None:
-        frame_exact = _use_frame_exact(window * tokens_per_frame)
+        frame_exact = _use_frame_exact(window * tokens_per_frame,
+                                       tokens_per_frame)
     if head_chunks > 1 and H % head_chunks == 0 and H > head_chunks:
         hc = H // head_chunks
         outs = [

@@ -35,11 +35,13 @@ from owl_audio_exps_tpu.parallel.sharding import param_shardings
 
 # dit_v4_5B muon-group shapes, scan_layers-stacked: 9 groups of
 # [global, local x3] -> leading axis 9; d_model 2560.
-# MUON_CHECK_G / MUON_CHECK_D shrink the geometry for the wall-clock
-# mode: the build host exposes ONE core behind the 8-device virtual
-# mesh, so full-5B CPU wall-clock is ~hours — the layout comparison
-# (fsdp rules vs explicit round-robin reshard) is scale-free, and the
-# per-device compiled-FLOPs run stays at full 5B scale.
+# MUON_CHECK_G / MUON_CHECK_D shrink the geometry (default = full 5B):
+# the build host exposes ONE core behind the 8-device virtual mesh, so
+# full-5B CPU wall-clock is ~hours — the layout comparison (fsdp rules
+# vs explicit round-robin reshard) is scale-free. NB every number this
+# process prints (compiled FLOPs included) is at the CHOSEN geometry;
+# the recorded 5B compiled-FLOPs table (PERF.md) came from a default-
+# scale run.
 G = int(os.environ.get("MUON_CHECK_G", "9"))
 D = int(os.environ.get("MUON_CHECK_D", "2560"))
 SHAPES = {

@@ -25,6 +25,9 @@ import numpy as np
 import jax, jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/root/jax_tpu_cache")
 
+import sys as _sys
+_sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+from chain_harness import make_stepper, bench  # the shared harness
 from owl_audio_exps_tpu.ops.band import band_attention
 from owl_audio_exps_tpu.ops.band2 import band2_attention, plan_candidates
 
@@ -39,38 +42,6 @@ GEOS = {
 
 BOUND = 64.0 ** 0.5
 K = 8          # chained iterations per timed call
-
-
-def make_stepper(attn_fn):
-    """fwd+bwd x K, serially chained: value_and_grad keeps the forward
-    live; the next iteration's q depends on this iteration's output."""
-    def loss(q, k, v):
-        return jnp.sum(attn_fn(q, k, v).astype(jnp.float32))
-
-    vg = jax.value_and_grad(loss, argnums=(0, 1, 2))
-
-    @jax.jit
-    def run(q, k, v):
-        def body(carry, _):
-            q, acc = carry
-            val, (gq, gk, gv) = vg(q, k, v)
-            q2 = (q + gq.astype(q.dtype) * jnp.asarray(1e-4, q.dtype)
-                  + val.astype(q.dtype) * jnp.asarray(1e-6, q.dtype))
-            return (q2, acc + val), None
-        (qf, acc), _ = jax.lax.scan(body, (q, jnp.float32(0.0)), None,
-                                    length=K)
-        return acc + jnp.sum(qf.astype(jnp.float32))
-    return run
-
-
-def bench(fn, qs, k, v, n=3):
-    np.asarray(fn(qs[0], k, v))            # compile + warm
-    ts = []
-    for i in range(n):
-        t0 = time.perf_counter()
-        np.asarray(fn(qs[1 + i], k, v))
-        ts.append(time.perf_counter() - t0)
-    return float(np.median(ts)) / K
 
 
 def run(name):

@@ -1,24 +1,22 @@
 """Band v1 (masked [C,2C] body) vs frame-exact (fw) body A/B.
 
-Per-layer attention fwd+bwd at the shipped geometries with the
-chained-scan harness (see scripts/tpu_band2_sweep.py docstring for the
-three axon-relay gotchas this guards against: execution memoization,
-lazy block_until_ready, and grad-of-sum forward-DCE).
-
-The fw bodies compute per-query-frame exact windows — no visibility
-masks, no 2C logit width — at the cost of sublane-misaligned VMEM
-slices for ragged tpf (ops/band._fwd_kernel_fw). This A/B decides the
-OWL_BAND_FW auto policy.
+Per-layer attention fwd+bwd at the shipped geometries with the shared
+chained-scan harness (scripts/chain_harness.py — the three axon-relay
+gotchas). The fw bodies compute per-query-frame exact windows — no
+visibility masks, no 2C logit width — at the cost of sublane-misaligned
+VMEM slices for ragged tpf (ops/band._fwd_kernel_fw). This A/B decides
+the OWL_BAND_FW auto policy.
 
 Usage: python scripts/tpu_band_fw_ab.py [geometry ...]
 """
-import sys, pathlib, os, time
+import sys, pathlib, os
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/jax_tpu_cache")
-import numpy as np
-import jax, jax.numpy as jnp
+import jax
 jax.config.update("jax_compilation_cache_dir", "/root/jax_tpu_cache")
 
+from chain_harness import make_stepper, bench, qkv_inputs
 from owl_audio_exps_tpu.ops.band import band_attention
 
 GEOS = {
@@ -33,55 +31,15 @@ GEOS = {
 }
 
 BOUND = 64.0 ** 0.5
-K = 8
-
-
-def make_stepper(attn_fn, fwd_only=False):
-    def loss(q, k, v):
-        return jnp.sum(attn_fn(q, k, v).astype(jnp.float32))
-
-    vg = jax.value_and_grad(loss, argnums=(0, 1, 2))
-
-    @jax.jit
-    def run(q, k, v):
-        def body(carry, _):
-            q, acc = carry
-            if fwd_only:
-                o = attn_fn(q, k, v)
-                val = jnp.sum(o.astype(jnp.float32))
-                q2 = q + o * jnp.asarray(1e-4, q.dtype)
-            else:
-                val, (gq, gk, gv) = vg(q, k, v)
-                q2 = (q + gq.astype(q.dtype) * jnp.asarray(1e-4, q.dtype)
-                      + val.astype(q.dtype) * jnp.asarray(1e-6, q.dtype))
-            return (q2, acc + val), None
-        (qf, acc), _ = jax.lax.scan(body, (q, jnp.float32(0.0)), None,
-                                    length=K)
-        return acc + jnp.sum(qf.astype(jnp.float32))
-    return run
-
-
-def bench(fn, qs, k, v, n=3):
-    np.asarray(fn(qs[0], k, v))
-    ts = []
-    for i in range(n):
-        t0 = time.perf_counter()
-        np.asarray(fn(qs[1 + i], k, v))
-        ts.append(time.perf_counter() - t0)
-    return float(np.median(ts)) / K
 
 
 def run(name):
     L, tpf, win, H, Dh, hc = GEOS[name]
-    rs = np.random.RandomState(0)
-    base = jnp.asarray(rs.randn(1, H, L, Dh), jnp.bfloat16)
-    qs = [base * jnp.bfloat16(1.0 + 0.001 * i) for i in range(5)]
-    k = jnp.asarray(rs.randn(1, H, L, Dh), jnp.bfloat16)
-    v = jnp.asarray(rs.randn(1, H, L, Dh), jnp.bfloat16)
+    qs, k, v = qkv_inputs(L, H, Dh)
 
     for fwd_only in (True, False):
         tag = "fwd    " if fwd_only else "fwd+bwd"
-        res = {}
+        res, err = {}, {}
         for fe in (False, True):
             f = make_stepper(
                 lambda q, k, v, fe=fe: band_attention(
@@ -91,10 +49,15 @@ def run(name):
             try:
                 res[fe] = bench(f, qs, k, v)
             except Exception as ex:
-                print(f"{name} {tag} fe={fe} FAILED "
-                      f"{type(ex).__name__}: {str(ex)[:120]}")
-                res[fe] = float("inf")
-        d = (1 - res[True] / res[False]) * 100 if res[False] > 0 else 0
+                err[fe] = f"{type(ex).__name__}: {str(ex)[:100]}"
+        if err:
+            # a crashed variant must read as a FAILURE, not a speedup
+            for fe in (False, True):
+                label = "fw" if fe else "v1"
+                msg = err.get(fe) or f"{res[fe]*1e3:8.2f} ms"
+                print(f"{name} {tag} {label}: {msg}")
+            continue
+        d = (1 - res[True] / res[False]) * 100
         print(f"{name} {tag}: v1 {res[False]*1e3:8.2f} ms  "
               f"fw {res[True]*1e3:8.2f} ms  ({d:+.1f}%)")
 

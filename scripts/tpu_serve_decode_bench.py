@@ -139,8 +139,9 @@ def bench_video():
 
     out = sampler(core, params, x, mouse, btn, jax.random.key(1))
     np.asarray(out)
-    np.asarray(decoder(out[:, 0]))
-    np.asarray(decoder(out[0, :N_GEN]))      # batched program too
+    # the sampler returns [ctx | generated]: decode the GENERATED frames
+    np.asarray(decoder(out[:, init_len]))
+    np.asarray(decoder(out[0, init_len:init_len + N_GEN]))  # batched too
 
     lat_t, dec_t, decb_t = [], [], []
     for i in range(3):
@@ -151,11 +152,12 @@ def bench_video():
         # per-tick eager decode: one dispatch + frame fetch per frame —
         # the interactive-loop shape; through the relay this is
         # dispatch-bound (PERF.md gotcha 3), on-node it is not
-        frames = [np.asarray(decoder(out[:, f])) for f in range(N_GEN)]
+        frames = [np.asarray(decoder(out[:, init_len + f]))
+                  for f in range(N_GEN)]
         t_end = time.perf_counter()
         # batched decode of the same frames: one dispatch — the chip
         # compute cost without the per-tick relay round trips
-        np.asarray(decoder(out[0, :N_GEN]))
+        np.asarray(decoder(out[0, init_len:init_len + N_GEN]))
         t_b = time.perf_counter()
         lat_t.append(t_mid - t_start)
         dec_t.append(t_end - t_mid)
